@@ -1,0 +1,105 @@
+"""Audio branch tests: fbank frontend invariants + BEATs encoder + AV splice."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from videollama2_tpu.core import config as cfglib
+from videollama2_tpu.core.config import AudioConfig
+from videollama2_tpu.media import audio as audio_lib
+from videollama2_tpu.models import beats
+
+
+def test_fbank_shapes_and_finiteness():
+    rng = np.random.default_rng(0)
+    wav = rng.standard_normal(16000).astype(np.float32) * 0.1  # 1 s
+    fb = audio_lib.fbank(wav)
+    # 25ms window, 10ms shift, snip_edges: 1 + (16000-400)//160 = 98 frames
+    assert fb.shape == (98, 128)
+    assert np.isfinite(fb).all()
+    norm = audio_lib.beats_preprocess(wav)
+    assert norm.shape == fb.shape
+
+
+def test_fbank_tone_peak():
+    """A pure tone's energy must land in the right mel bin region."""
+    sr = 16000
+    t = np.arange(sr) / sr
+    lo = audio_lib.fbank(0.5 * np.sin(2 * np.pi * 200 * t))
+    hi = audio_lib.fbank(0.5 * np.sin(2 * np.pi * 4000 * t))
+    assert lo.mean(0).argmax() < hi.mean(0).argmax()
+
+
+def test_mel_banks_coverage():
+    banks = audio_lib.mel_banks(128, 512, 16000)
+    assert banks.shape == (128, 257)
+    # with 128 bins over a 512-pt FFT the lowest triangles are narrower than
+    # one FFT bin (Kaldi behaves identically); the vast majority are nonzero
+    assert (banks.sum(axis=1) > 0).mean() > 0.9
+    # every FFT bin in the passband contributes somewhere
+    assert (banks.sum(axis=0)[1:256] > 0).mean() > 0.95
+
+
+@pytest.fixture(scope="module")
+def tiny_audio():
+    cfg = AudioConfig(embed_dim=24, encoder_dim=32, num_layers=2,
+                      num_heads=4, intermediate_size=64, conv_pos=8,
+                      conv_pos_groups=4, max_frames=64)
+    params = beats.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_beats_forward_shapes(tiny_audio):
+    cfg, params = tiny_audio
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, cfg.max_frames, 128)).astype(np.float32))
+    out = beats.forward(params, cfg, x)
+    assert out.shape == (2, cfg.tokens, cfg.encoder_dim)
+    assert np.isfinite(np.asarray(out)).all()
+    # jit-able
+    out2 = jax.jit(lambda p, x: beats.forward(p, cfg, x))(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+
+
+def test_relative_position_bucket_symmetry():
+    rel = jnp.arange(-50, 51)
+    b = beats.relative_position_bucket(rel[None], 320, 800)[0]
+    assert int(b[50]) == 0  # distance 0
+    # monotone growth away from center on each side
+    assert np.all(np.diff(np.asarray(b[50:])) >= 0)
+
+
+def test_av_model_end_to_end():
+    """Full AV model: video + audio spliced into one prompt."""
+    from videollama2_tpu.constants import (AUDIO_TOKEN_INDEX,
+                                           VIDEO_TOKEN_INDEX)
+    from videollama2_tpu.inference.engine import Engine, GenerationConfig
+    from videollama2_tpu.models import videollama2 as vl2
+
+    cfg = cfglib.tiny_model()
+    audio_cfg = AudioConfig(embed_dim=24, encoder_dim=32, num_layers=2,
+                            num_heads=4, intermediate_size=64, conv_pos=8,
+                            conv_pos_groups=4, max_frames=64)
+    cfg = cfg.replace(audio=audio_cfg)
+    params = vl2.init_params(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.default_rng(0)
+    T, H = cfg.num_frames, cfg.vision.image_size
+    frames = rng.standard_normal((1, T, H, H, 3)).astype(np.float32)
+    audio = rng.standard_normal((1, 64, 128)).astype(np.float32)
+    prompt = [3, VIDEO_TOKEN_INDEX, AUDIO_TOKEN_INDEX, 5]
+
+    eng = Engine(cfg, params, dtype=jnp.float32, max_len=128, buckets=(64,),
+                 attn_impl="xla", decode_chunk=4)
+    out = eng.generate([prompt], frames=frames, audio=audio,
+                       gen=GenerationConfig(max_new_tokens=4),
+                       eos_token_id=-1)
+    assert len(out[0]) == 4
+
+    # audio-only
+    out2 = eng.generate([[3, AUDIO_TOKEN_INDEX, 5]], audio=audio,
+                        gen=GenerationConfig(max_new_tokens=4),
+                        eos_token_id=-1)
+    assert len(out2[0]) == 4

@@ -1,0 +1,69 @@
+"""Public-API end-to-end test: model_init -> processor -> mm_infer.
+
+Drives the full reference quickstart flow (README.md:300-337) against a tiny
+random checkpoint in the reference's HF on-disk format, exercising the
+checkpoint converter, media pipeline, tokenizer/chat template, splice, and
+the generation engine together.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    from make_tiny_checkpoint import build_checkpoint
+    d = tmp_path_factory.mktemp("ckpt")
+    return build_checkpoint(str(d))
+
+
+@pytest.fixture(scope="module")
+def loaded(ckpt):
+    import jax.numpy as jnp
+    import videollama2_tpu
+    return videollama2_tpu.model_init(ckpt, dtype=jnp.float32, max_len=256,
+                                      buckets=(128,), attn_impl="xla")
+
+
+def test_model_init_shapes(loaded):
+    model, processor, tokenizer = loaded
+    assert model.model_type == "videollama2_mistral"
+    assert set(processor.keys()) == {"image", "video"}
+    assert tokenizer.eos_token == "</s>"
+
+
+def test_mm_infer_video(loaded, tmp_path):
+    import videollama2_tpu
+    model, processor, tokenizer = loaded
+    rng = np.random.default_rng(0)
+    frames = [Image.fromarray(rng.integers(0, 255, (64, 48, 3),
+                                           dtype=np.uint8))
+              for _ in range(10)]
+    gif = tmp_path / "v.gif"
+    frames[0].save(gif, save_all=True, append_images=frames[1:], duration=50)
+
+    tensor = processor["video"](str(gif))
+    assert tensor.shape == (model.config.num_frames,
+                            model.config.vision.image_size,
+                            model.config.vision.image_size, 3)
+    out = videollama2_tpu.mm_infer(tensor, "What happens ?", model,
+                                   tokenizer, modal="video",
+                                   max_new_tokens=8)
+    assert isinstance(out, str) and len(out) > 0
+
+
+def test_mm_infer_text_deterministic(loaded):
+    import videollama2_tpu
+    model, _, tokenizer = loaded
+    a = videollama2_tpu.mm_infer(None, "Say yes .", model, tokenizer,
+                                 modal="text", max_new_tokens=6)
+    b = videollama2_tpu.mm_infer(None, "Say yes .", model, tokenizer,
+                                 modal="text", max_new_tokens=6)
+    assert a == b  # greedy decode is deterministic

@@ -1,0 +1,101 @@
+"""End-to-end engine tests on a tiny random multimodal model."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from videollama2_tpu.constants import VIDEO_TOKEN_INDEX
+from videollama2_tpu.core import config as cfglib
+from videollama2_tpu.inference.engine import Engine, GenerationConfig
+from videollama2_tpu.models import llm as llm_lib
+from videollama2_tpu.models import videollama2 as vl2
+from videollama2_tpu.multimodal import splice as splice_lib
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = cfglib.tiny_model()
+    params = vl2.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_engine_matches_stepwise_reference(tiny):
+    """Engine greedy output == manual compose + full-forward argmax loop."""
+    cfg, params = tiny
+    T = cfg.num_frames
+    H = cfg.vision.image_size
+    rng = np.random.default_rng(0)
+    frames = rng.standard_normal((1, T, H, H, 3)).astype(np.float32)
+    prompt = [3, 4, VIDEO_TOKEN_INDEX, 5, 6]
+    steps = 6
+
+    eng = Engine(cfg, params, dtype=jnp.float32, max_len=128,
+                 buckets=(64,), attn_impl="xla", decode_chunk=4)
+    out = eng.generate([prompt], frames=frames,
+                       gen=GenerationConfig(max_new_tokens=steps),
+                       eos_token_id=-1)  # never emitted -> full length
+    got = out[0]
+    assert len(got) == steps
+
+    # stepwise reference: full forward re-run each step (no cache)
+    tpm = cfg.tokens_per_video
+    vis = vl2.encode_frames(params, cfg, jnp.asarray(frames),
+                            attn_impl="xla")  # [1, tpm, D]
+    toks = list(prompt)
+    ref_out = []
+    for _ in range(steps):
+        plan = splice_lib.plan_batch([toks], tpm, 64)
+        embeds = splice_lib.compose(params["llm"]["embed"]["weight"],
+                                    vis, jnp.asarray(plan.text_ids),
+                                    jnp.asarray(plan.is_visual),
+                                    jnp.asarray(plan.vis_index))
+        hidden, _ = llm_lib.forward(params["llm"], cfg.llm, embeds,
+                                    jnp.asarray(plan.positions),
+                                    jnp.asarray(plan.valid_len),
+                                    attn_impl="xla")
+        last = hidden[0, int(plan.valid_len[0]) - 1]
+        logits = llm_lib.lm_logits(params["llm"], cfg.llm, last[None])
+        nxt = int(jnp.argmax(logits, -1)[0])
+        ref_out.append(nxt)
+        toks.append(nxt)
+    assert got == ref_out
+
+
+def test_engine_text_only(tiny):
+    cfg, params = tiny
+    eng = Engine(cfg, params, dtype=jnp.float32, max_len=64, buckets=(32,),
+                 attn_impl="xla", decode_chunk=4)
+    out = eng.generate([[3, 4, 5]], frames=None,
+                       gen=GenerationConfig(max_new_tokens=4),
+                       eos_token_id=-1)
+    assert len(out[0]) == 4
+
+
+def test_engine_eos_stops(tiny):
+    cfg, params = tiny
+    eng = Engine(cfg, params, dtype=jnp.float32, max_len=64, buckets=(32,),
+                 attn_impl="xla", decode_chunk=4)
+    long = eng.generate([[3, 4, 5]], gen=GenerationConfig(max_new_tokens=12),
+                        eos_token_id=-1)[0]
+    # pick the 3rd emitted token as fake EOS: generation must stop there
+    eos = long[2]
+    out = eng.generate([[3, 4, 5]], gen=GenerationConfig(max_new_tokens=12),
+                       eos_token_id=eos)[0]
+    assert out[-1] == eos
+    assert len(out) <= 3
+
+
+def test_engine_batched(tiny):
+    cfg, params = tiny
+    eng = Engine(cfg, params, dtype=jnp.float32, max_len=64, buckets=(32,),
+                 attn_impl="xla", decode_chunk=4)
+    singles = [eng.generate([[3, 4, 5]], gen=GenerationConfig(max_new_tokens=5),
+                            eos_token_id=-1)[0],
+               eng.generate([[9, 8]], gen=GenerationConfig(max_new_tokens=5),
+                            eos_token_id=-1)[0]]
+    batched = eng.generate([[3, 4, 5], [9, 8]],
+                           gen=GenerationConfig(max_new_tokens=5),
+                           eos_token_id=-1)
+    assert batched == singles

@@ -1,0 +1,407 @@
+"""HF checkpoint -> JAX param-tree conversion.
+
+Covers every load path of the reference loader
+(videollama2/model/__init__.py:48-193): full SFT checkpoints, pretrain-stage
+`mm_projector.bin` adapters, and (via `train/lora.py`) LoRA deltas. Works from
+either torch state_dicts or safetensors files; tensors may be torch.Tensor or
+numpy arrays.
+
+Kernel convention: JAX kernels are [in, out] = transpose of torch Linear
+weights. Conv kernels convert from torch [O, I, *k] to JAX [*k, I, O].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import re
+from typing import Dict, Iterable, Mapping
+
+import numpy as np
+
+from ..core import config as cfglib
+from ..core.config import (ConnectorConfig, LLMConfig, ModelConfig,
+                           VisionConfig)
+
+
+def _np(t) -> np.ndarray:
+    """torch.Tensor | np.ndarray -> float32/int numpy (bf16-safe)."""
+    if isinstance(t, np.ndarray):
+        return t
+    try:
+        import torch
+        if isinstance(t, torch.Tensor):
+            t = t.detach()
+            if t.dtype in (torch.bfloat16, torch.float16):
+                t = t.to(torch.float32)
+            return t.cpu().numpy()
+    except ImportError:
+        pass
+    return np.asarray(t)
+
+
+def _t(sd: Mapping, key: str) -> np.ndarray:
+    return _np(sd[key]).T
+
+
+def _a(sd: Mapping, key: str) -> np.ndarray:
+    return _np(sd[key])
+
+
+def _stack(items: Iterable[np.ndarray]) -> np.ndarray:
+    return np.stack(list(items), axis=0)
+
+
+# ---------------------------------------------------------------------------
+# LLM (Mistral / Qwen2 / Llama dense; Mixtral MoE)
+# ---------------------------------------------------------------------------
+
+def llm_params_from_state_dict(sd: Mapping, cfg: LLMConfig,
+                               prefix: str = "model.") -> dict:
+    """Convert an HF *ForCausalLM state_dict to the stacked-layer param tree.
+
+    Key layout parity: HF MistralForCausalLM / Qwen2ForCausalLM /
+    LlamaForCausalLM / MixtralForCausalLM.
+    """
+    L = cfg.num_layers
+
+    def lkey(l, sub):
+        return f"{prefix}layers.{l}.{sub}"
+
+    layers: dict = {
+        "attn_norm": {"scale": _stack(
+            _a(sd, lkey(l, "input_layernorm.weight")) for l in range(L))},
+        "mlp_norm": {"scale": _stack(
+            _a(sd, lkey(l, "post_attention_layernorm.weight"))
+            for l in range(L))},
+        "q": {"kernel": _stack(
+            _t(sd, lkey(l, "self_attn.q_proj.weight")) for l in range(L))},
+        "k": {"kernel": _stack(
+            _t(sd, lkey(l, "self_attn.k_proj.weight")) for l in range(L))},
+        "v": {"kernel": _stack(
+            _t(sd, lkey(l, "self_attn.v_proj.weight")) for l in range(L))},
+        "o": {"kernel": _stack(
+            _t(sd, lkey(l, "self_attn.o_proj.weight")) for l in range(L))},
+    }
+    if cfg.qkv_bias:
+        for name in ("q", "k", "v"):
+            layers[name]["bias"] = _stack(
+                _a(sd, lkey(l, f"self_attn.{name}_proj.bias"))
+                for l in range(L))
+    if cfg.is_moe:
+        E = cfg.num_experts
+        layers["router"] = {"kernel": _stack(
+            _t(sd, lkey(l, "block_sparse_moe.gate.weight"))
+            for l in range(L))}
+        layers["gate"] = {"kernel": _stack(
+            _stack(_t(sd, lkey(l, f"block_sparse_moe.experts.{e}.w1.weight"))
+                   for e in range(E)) for l in range(L))}
+        layers["down"] = {"kernel": _stack(
+            _stack(_t(sd, lkey(l, f"block_sparse_moe.experts.{e}.w2.weight"))
+                   for e in range(E)) for l in range(L))}
+        layers["up"] = {"kernel": _stack(
+            _stack(_t(sd, lkey(l, f"block_sparse_moe.experts.{e}.w3.weight"))
+                   for e in range(E)) for l in range(L))}
+    else:
+        layers["gate"] = {"kernel": _stack(
+            _t(sd, lkey(l, "mlp.gate_proj.weight")) for l in range(L))}
+        layers["up"] = {"kernel": _stack(
+            _t(sd, lkey(l, "mlp.up_proj.weight")) for l in range(L))}
+        layers["down"] = {"kernel": _stack(
+            _t(sd, lkey(l, "mlp.down_proj.weight")) for l in range(L))}
+
+    params = {
+        "embed": {"weight": _a(sd, f"{prefix}embed_tokens.weight")},
+        "layers": layers,
+        "final_norm": {"scale": _a(sd, f"{prefix}norm.weight")},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"kernel": _t(sd, "lm_head.weight")}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Vision tower (CLIP / SigLIP)
+# ---------------------------------------------------------------------------
+
+def vision_params_from_state_dict(sd: Mapping, cfg: VisionConfig,
+                                  prefix: str = "vision_model.") -> dict:
+    """Convert HF CLIPVisionModel / SiglipVisionModel state_dict.
+
+    HF layout (both families share encoder-layer naming):
+      {prefix}embeddings.{patch,position}_embedding...
+      {prefix}encoder.layers.{l}.{self_attn.{q,k,v,out}_proj,
+                               layer_norm{1,2}, mlp.fc{1,2}}
+      CLIP extras: embeddings.class_embedding, pre_layrnorm, post_layernorm
+      SigLIP extras: post_layernorm (no CLS, no pre-LN)
+    """
+    L = cfg.num_layers
+
+    def lkey(l, sub):
+        return f"{prefix}encoder.layers.{l}.{sub}"
+
+    layers = {
+        "ln1": {"scale": _stack(_a(sd, lkey(l, "layer_norm1.weight"))
+                                for l in range(L)),
+                "bias": _stack(_a(sd, lkey(l, "layer_norm1.bias"))
+                               for l in range(L))},
+        "ln2": {"scale": _stack(_a(sd, lkey(l, "layer_norm2.weight"))
+                                for l in range(L)),
+                "bias": _stack(_a(sd, lkey(l, "layer_norm2.bias"))
+                               for l in range(L))},
+        "fc1": {"kernel": _stack(_t(sd, lkey(l, "mlp.fc1.weight"))
+                                 for l in range(L)),
+                "bias": _stack(_a(sd, lkey(l, "mlp.fc1.bias"))
+                               for l in range(L))},
+        "fc2": {"kernel": _stack(_t(sd, lkey(l, "mlp.fc2.weight"))
+                                 for l in range(L)),
+                "bias": _stack(_a(sd, lkey(l, "mlp.fc2.bias"))
+                               for l in range(L))},
+    }
+    for name, hf in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"),
+                     ("o", "out_proj")):
+        layers[name] = {
+            "kernel": _stack(_t(sd, lkey(l, f"self_attn.{hf}.weight"))
+                             for l in range(L)),
+            "bias": _stack(_a(sd, lkey(l, f"self_attn.{hf}.bias"))
+                           for l in range(L)),
+        }
+
+    # torch Conv2d [O, I, kh, kw] -> [kh, kw, I, O]
+    patch_w = _a(sd, f"{prefix}embeddings.patch_embedding.weight")
+    patch = {"kernel": np.transpose(patch_w, (2, 3, 1, 0))}
+    if f"{prefix}embeddings.patch_embedding.bias" in sd:
+        patch["bias"] = _a(sd, f"{prefix}embeddings.patch_embedding.bias")
+
+    params = {
+        "patch_embed": patch,
+        "pos_embed": {"weight": _a(
+            sd, f"{prefix}embeddings.position_embedding.weight")},
+        "layers": layers,
+        "post_ln": {"scale": _a(sd, f"{prefix}post_layernorm.weight"),
+                    "bias": _a(sd, f"{prefix}post_layernorm.bias")},
+    }
+    if cfg.variant == "clip":
+        params["cls_token"] = {"weight": _a(
+            sd, f"{prefix}embeddings.class_embedding")}
+        params["pre_ln"] = {"scale": _a(sd, f"{prefix}pre_layrnorm.weight"),
+                            "bias": _a(sd, f"{prefix}pre_layrnorm.bias")}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Connector (STC / STP / mlp / linear)
+# ---------------------------------------------------------------------------
+
+def _convnormact(sd: Mapping, prefix: str, ndim: int = 2) -> dict:
+    """timm ConvNormAct: {prefix}.conv.weight + {prefix}.bn.{weight,bias}
+    (norm is LayerNorm2d here, stored under 'bn')."""
+    w = _a(sd, f"{prefix}.conv.weight")
+    if ndim == 2:
+        kernel = np.transpose(w, (2, 3, 1, 0))
+    else:
+        kernel = np.transpose(w, (2, 3, 4, 1, 0))
+    p = {"conv": {"kernel": kernel}}
+    if f"{prefix}.conv.bias" in sd:
+        p["conv"]["bias"] = _a(sd, f"{prefix}.conv.bias")
+    if f"{prefix}.bn.weight" in sd:
+        p["norm"] = {"scale": _a(sd, f"{prefix}.bn.weight"),
+                     "bias": _a(sd, f"{prefix}.bn.bias")}
+    return p
+
+
+def _regstage(sd: Mapping, prefix: str, depth: int) -> dict:
+    """timm RegStage of `depth` Bottleneck blocks b1..bN
+    (timm.models.regnet; reference projector.py:153-186)."""
+    blocks = []
+    for i in range(1, depth + 1):
+        bp = f"{prefix}.b{i}"
+        block = {
+            "conv1": _convnormact(sd, f"{bp}.conv1"),
+            "conv2": _convnormact(sd, f"{bp}.conv2"),
+            "conv3": _convnormact(sd, f"{bp}.conv3"),
+            "se": {
+                "fc1": {"kernel": np.transpose(
+                    _a(sd, f"{bp}.se.fc1.weight"), (2, 3, 1, 0)),
+                        "bias": _a(sd, f"{bp}.se.fc1.bias")},
+                "fc2": {"kernel": np.transpose(
+                    _a(sd, f"{bp}.se.fc2.weight"), (2, 3, 1, 0)),
+                        "bias": _a(sd, f"{bp}.se.fc2.bias")},
+            },
+        }
+        if f"{bp}.downsample.conv.weight" in sd:
+            block["downsample"] = _convnormact(sd, f"{bp}.downsample")
+        blocks.append(block)
+    return {f"b{i+1}": b for i, b in enumerate(blocks)}
+
+
+def _mlp_seq(sd: Mapping, prefix: str, depth: int) -> dict:
+    """nn.Sequential of Linear(+GELU) pairs: indices 0, 2, 4...
+    (projector.py:125-130)."""
+    base = prefix + "." if prefix else ""
+    out = {}
+    for d in range(depth):
+        idx = 2 * d
+        out[f"fc{d+1}"] = {"kernel": _t(sd, f"{base}{idx}.weight"),
+                           "bias": _a(sd, f"{base}{idx}.bias")}
+    return out
+
+
+def connector_params_from_state_dict(sd: Mapping, cfg: ConnectorConfig,
+                                     prefix: str = "") -> dict:
+    pt = cfg.projector_type
+    if pt == "linear":
+        return {"fc1": {"kernel": _t(sd, f"{prefix}weight"),
+                        "bias": _a(sd, f"{prefix}bias")}}
+    m = re.match(r"^mlp(\d+)x_gelu$", pt)
+    if m:
+        return _mlp_seq(sd, prefix.rstrip("."), int(m.group(1)))
+    if pt in ("stc_connector", "stc_connector_v35", "stp_connector",
+              "spatial_conv", "spatial_pool"):
+        params: dict = {}
+        if cfg.depth != 0:
+            params["s1"] = _regstage(sd, f"{prefix}s1", cfg.depth)
+            params["s2"] = _regstage(sd, f"{prefix}s2", cfg.depth)
+        if pt in ("stc_connector", "stc_connector_v35", "spatial_conv"):
+            # sampler = Sequential(Conv3d, SiLU) -> index 0
+            w = _a(sd, f"{prefix}sampler.0.weight")  # [O, I, kt, kh, kw]
+            params["sampler"] = {
+                "kernel": np.transpose(w, (2, 3, 4, 1, 0)),
+                "bias": _a(sd, f"{prefix}sampler.0.bias")}
+        params["readout"] = _mlp_seq(sd, f"{prefix}readout", cfg.mlp_depth)
+        return params
+    if pt == "identity":
+        return {}
+    raise ValueError(f"Unknown projector type {pt}")
+
+
+# ---------------------------------------------------------------------------
+# Whole-model assembly from a checkpoint directory
+# ---------------------------------------------------------------------------
+
+def load_state_dict_from_dir(path: str) -> Dict[str, np.ndarray]:
+    """Read all safetensors/bin shards in an HF checkpoint directory."""
+    sd: Dict[str, np.ndarray] = {}
+    fns = sorted(os.listdir(path))
+    st_files = [f for f in fns if f.endswith(".safetensors")
+                and not f.endswith(".index.json")]
+    if st_files:
+        from safetensors import safe_open
+        for fn in st_files:
+            with safe_open(os.path.join(path, fn), framework="np") as f:
+                for k in f.keys():
+                    sd[k] = f.get_tensor(k)
+        return sd
+    bins = [f for f in fns if f.startswith("pytorch_model")
+            and f.endswith(".bin")]
+    if bins:
+        import torch
+        for fn in bins:
+            part = torch.load(os.path.join(path, fn), map_location="cpu",
+                              weights_only=True)
+            sd.update({k: _np(v) for k, v in part.items()})
+        return sd
+    raise FileNotFoundError(f"No model weights found in {path}")
+
+
+def model_config_from_hf(cfg_json: dict) -> ModelConfig:
+    """Build a ModelConfig from a videollama2 checkpoint's config.json."""
+    mt = cfg_json.get("model_type", "videollama2_mistral")
+    if not mt.startswith("videollama2"):
+        mt = "videollama2_" + {"mistral": "mistral", "qwen2": "qwen2",
+                               "mixtral": "mixtral", "llama": "llama"}[mt]
+    if mt == "videollama2":  # v1 checkpoints use bare 'videollama2' (mistral)
+        mt = "videollama2_mistral"
+    base = cfglib.preset(mt)
+    llm = base.llm
+    llm_fields = dict(
+        vocab_size=cfg_json.get("vocab_size", llm.vocab_size),
+        hidden_size=cfg_json.get("hidden_size", llm.hidden_size),
+        intermediate_size=cfg_json.get("intermediate_size",
+                                       llm.intermediate_size),
+        num_layers=cfg_json.get("num_hidden_layers", llm.num_layers),
+        num_heads=cfg_json.get("num_attention_heads", llm.num_heads),
+        num_kv_heads=cfg_json.get("num_key_value_heads", llm.num_kv_heads),
+        rope_theta=cfg_json.get("rope_theta", llm.rope_theta),
+        rms_norm_eps=cfg_json.get("rms_norm_eps", llm.rms_norm_eps),
+        max_position_embeddings=cfg_json.get("max_position_embeddings",
+                                             llm.max_position_embeddings),
+        sliding_window=cfg_json.get("sliding_window", llm.sliding_window),
+        tie_word_embeddings=cfg_json.get("tie_word_embeddings", False),
+        bos_token_id=cfg_json.get("bos_token_id", llm.bos_token_id),
+        eos_token_id=_first(cfg_json.get("eos_token_id", llm.eos_token_id)),
+        pad_token_id=cfg_json.get("pad_token_id") or llm.pad_token_id,
+    )
+    llm_fields["head_dim"] = cfg_json.get(
+        "head_dim", llm_fields["hidden_size"] // llm_fields["num_heads"])
+    if cfg_json.get("num_local_experts"):
+        llm_fields["num_experts"] = cfg_json["num_local_experts"]
+        llm_fields["num_experts_per_tok"] = cfg_json.get(
+            "num_experts_per_tok", 2)
+    llm = dataclasses.replace(llm, **llm_fields)
+
+    tower = cfg_json.get("mm_vision_tower", "")
+    vision = (cfglib.siglip_so400m_384() if "siglip" in tower
+              else cfglib.clip_vit_l_336())
+    if "tiny_test_vision" in cfg_json:  # test fixtures carry explicit dims
+        tv = cfg_json["tiny_test_vision"]
+        vision = dataclasses.replace(
+            vision, image_size=tv["image_size"], patch_size=tv["patch_size"],
+            hidden_size=tv["hidden_size"],
+            intermediate_size=tv["intermediate_size"],
+            num_layers=tv["num_layers"], num_heads=tv["num_heads"])
+    if "mm_vision_select_layer" in cfg_json:
+        vision = dataclasses.replace(
+            vision, select_layer=cfg_json["mm_vision_select_layer"])
+    conn = ConnectorConfig(
+        projector_type=cfg_json.get("mm_projector_type", "stc_connector"),
+        mm_hidden_size=cfg_json.get("mm_hidden_size", vision.hidden_size),
+        hidden_size=llm.hidden_size,
+        # reference STC depth is fixed at 4 (projector.py:135); test fixtures
+        # may override
+        depth=cfg_json.get("mm_connector_depth", 4))
+    return ModelConfig(model_type=mt, llm=llm, vision=vision, connector=conn,
+                       num_frames=cfg_json.get("num_frames", 8))
+
+
+def _first(x):
+    return x[0] if isinstance(x, (list, tuple)) else x
+
+
+def videollama2_params_from_state_dict(sd: Mapping, cfg: ModelConfig) -> dict:
+    """Full checkpoint: model.* (LLM), model.vision_tower.vision_tower.* ,
+    model.mm_projector.* (reference save layout)."""
+    return {
+        "llm": llm_params_from_state_dict(sd, cfg.llm, prefix="model."),
+        "vision": vision_params_from_state_dict(
+            sd, cfg.vision,
+            prefix="model.vision_tower.vision_tower.vision_model."),
+        "connector": connector_params_from_state_dict(
+            sd, cfg.connector, prefix="model.mm_projector."),
+    }
+
+
+def load_videollama2(path: str):
+    """Load a released VideoLLaMA2 checkpoint directory.
+
+    Returns (ModelConfig, params dict). Mirrors load_pretrained_model's full-
+    checkpoint path (model/__init__.py:165-176); the projector-only and LoRA
+    paths are in `load_pretrain_adapter` / `train/lora.py`.
+    """
+    with open(os.path.join(path, "config.json")) as f:
+        cfg_json = json.load(f)
+    cfg = model_config_from_hf(cfg_json)
+    sd = load_state_dict_from_dir(path)
+    params = videollama2_params_from_state_dict(sd, cfg)
+    return cfg, params
+
+
+def load_pretrain_adapter(path: str, cfg: ConnectorConfig) -> dict:
+    """Load a pretrain-stage `mm_projector.bin` (model/__init__.py:138-164)."""
+    import torch
+    sd = torch.load(os.path.join(path, "mm_projector.bin"),
+                    map_location="cpu", weights_only=True)
+    sd = {k: _np(v) for k, v in sd.items()}
+    return connector_params_from_state_dict(sd, cfg,
+                                            prefix="model.mm_projector.")

@@ -1,0 +1,156 @@
+"""Orbax checkpointing: train-state save/restore with auto-resume.
+
+Replaces the reference's three save shapes (videollama2_trainer.py:320-361,
+91-125; SURVEY.md §5 checkpoint/resume):
+  (a) full train-state checkpoints with step-numbered directories and
+      auto-resume from the latest (train.py:552-557);
+  (b) projector-only `mm_projector.bin`-equivalent adapters for the pretrain
+      stage (tune_mm_mlp_adapter);
+  (c) LoRA split saves (train/lora.py handles the param split).
+
+Also exports back to the HF/torch key layout so checkpoints interoperate
+with the reference ecosystem.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _mgr(directory: str, max_to_keep: int = 3):
+    import orbax.checkpoint as ocp
+    return ocp.CheckpointManager(
+        directory, options=ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=True))
+
+
+def save_train_state(directory: str, step: int, state: Any,
+                     max_to_keep: int = 3) -> None:
+    import orbax.checkpoint as ocp
+    mgr = _mgr(os.path.abspath(directory), max_to_keep)
+    mgr.save(step, args=ocp.args.StandardSave(state))
+    mgr.wait_until_finished()
+
+
+def latest_step(directory: str) -> Optional[int]:
+    if not os.path.isdir(directory):
+        return None
+    mgr = _mgr(os.path.abspath(directory))
+    return mgr.latest_step()
+
+
+def restore_train_state(directory: str, abstract_state: Any,
+                        step: Optional[int] = None) -> Any:
+    """Restore into the sharding/layout of `abstract_state` (auto-resume:
+    pass step=None for the latest, parity train.py:554-557)."""
+    import orbax.checkpoint as ocp
+    mgr = _mgr(os.path.abspath(directory))
+    if step is None:
+        step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints in {directory}")
+    return mgr.restore(step, args=ocp.args.StandardRestore(abstract_state))
+
+
+def save_projector_only(directory: str, connector_params: Any) -> None:
+    """Pretrain-stage adapter save — the `mm_projector.bin` equivalent
+    (videollama2_trainer.py:320-341). Written as numpy npz + manifest."""
+    os.makedirs(directory, exist_ok=True)
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+            connector_params)[0]:
+        key = "/".join(getattr(p, "key", str(p)) for p in path)
+        flat[key] = np.asarray(leaf)
+    np.savez(os.path.join(directory, "mm_projector.npz"), **flat)
+    with open(os.path.join(directory, "mm_projector.json"), "w") as f:
+        json.dump(sorted(flat), f)
+
+
+def load_projector_only(directory: str, like: Any) -> Any:
+    data = np.load(os.path.join(directory, "mm_projector.npz"))
+
+    def unflatten(tree, prefix=""):
+        if isinstance(tree, dict):
+            return {k: unflatten(v, f"{prefix}{k}/" if prefix or True
+                                 else k) for k, v in tree.items()}
+        raise TypeError
+
+    flat_like = jax.tree_util.tree_flatten_with_path(like)
+    leaves = []
+    for path, leaf in flat_like[0]:
+        key = "/".join(getattr(p, "key", str(p)) for p in path)
+        leaves.append(jax.numpy.asarray(data[key], dtype=leaf.dtype))
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(like), leaves)
+
+
+def export_hf_projector_bin(path: str, connector_params: Any,
+                            cfg) -> None:
+    """Export the connector to a torch `mm_projector.bin` with the
+    reference's timm/torch key layout, so reference code can load it
+    (projector.py:49-63). Inverse of convert_hf.connector_params_from_
+    state_dict."""
+    import torch
+    from .convert_hf import connector_params_from_state_dict  # noqa: F401
+    sd = {}
+
+    def conv_t(kernel, ndim):
+        a = np.asarray(kernel)
+        if ndim == 2:
+            return torch.tensor(a.transpose(3, 2, 0, 1))
+        return torch.tensor(a.transpose(4, 3, 0, 1, 2))
+
+    p = connector_params
+    prefix = "model.mm_projector."
+
+    def put_cna(name, cna):
+        sd[prefix + name + ".conv.weight"] = conv_t(cna["conv"]["kernel"], 2)
+        if "bias" in cna["conv"]:
+            sd[prefix + name + ".conv.bias"] = torch.tensor(
+                np.asarray(cna["conv"]["bias"]))
+        if "norm" in cna:
+            sd[prefix + name + ".bn.weight"] = torch.tensor(
+                np.asarray(cna["norm"]["scale"]))
+            sd[prefix + name + ".bn.bias"] = torch.tensor(
+                np.asarray(cna["norm"]["bias"]))
+
+    for stage in ("s1", "s2"):
+        if stage not in p:
+            continue
+        for bname, b in p[stage].items():
+            base = f"{stage}.{bname}"
+            for cname in ("conv1", "conv2", "conv3"):
+                put_cna(f"{base}.{cname}", b[cname])
+            for f_ in ("fc1", "fc2"):
+                sd[prefix + f"{base}.se.{f_}.weight"] = conv_t(
+                    b["se"][f_]["kernel"], 2)
+                sd[prefix + f"{base}.se.{f_}.bias"] = torch.tensor(
+                    np.asarray(b["se"][f_]["bias"]))
+            if "downsample" in b:
+                put_cna(f"{base}.downsample", b["downsample"])
+    if "sampler" in p:
+        sd[prefix + "sampler.0.weight"] = conv_t(p["sampler"]["kernel"], 3)
+        sd[prefix + "sampler.0.bias"] = torch.tensor(
+            np.asarray(p["sampler"]["bias"]))
+    if "readout" in p:
+        for i, (name, fc) in enumerate(sorted(p["readout"].items())):
+            idx = 2 * i
+            sd[prefix + f"readout.{idx}.weight"] = torch.tensor(
+                np.asarray(fc["kernel"]).T)
+            sd[prefix + f"readout.{idx}.bias"] = torch.tensor(
+                np.asarray(fc["bias"]))
+    # linear / mlpNx projectors: fc1, fc2... at top level
+    for name, fc in sorted(p.items()):
+        if re.match(r"^fc\d+$", name):
+            idx = 2 * (int(name[2:]) - 1)
+            sd[prefix + f"{idx}.weight"] = torch.tensor(
+                np.asarray(fc["kernel"]).T)
+            sd[prefix + f"{idx}.bias"] = torch.tensor(
+                np.asarray(fc["bias"]))
+    torch.save(sd, path)

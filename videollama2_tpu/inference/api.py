@@ -1,0 +1,155 @@
+"""Public inference API: model_init / mm_infer.
+
+Parity: reference videollama2/__init__.py:14-114 — same call signatures,
+prompt construction (including the hard-coded Llama2-style <<SYS>> system
+prompt for mistral/mixtral model types), modal-token tokenization, generation
+defaults, and decode. The backend is the jitted TPU Engine instead of HF
+generate.
+"""
+
+from __future__ import annotations
+
+import copy
+import functools
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..constants import (DEFAULT_IMAGE_TOKEN, DEFAULT_VIDEO_TOKEN,
+                         NUM_FRAMES)
+from ..core.config import ModelConfig
+from ..checkpoint import convert_hf
+from ..media.preprocess import process_image, process_video
+from ..multimodal.tokenizer import (get_model_name_from_path,
+                                    tokenizer_multimodal_token)
+from .engine import Engine, GenerationConfig
+
+MISTRAL_SYSTEM = (
+    """<<SYS>>\nYou are a helpful, respectful and honest assistant. Always answer as helpfully as possible, while being safe.  Your answers should not include any harmful, unethical, racist, sexist, toxic, dangerous, or illegal content. Please ensure that your responses are socially unbiased and positive in nature."""
+    """\n"""
+    """If a question does not make any sense, or is not factually coherent, explain why instead of answering something not correct. If you don't know the answer to a question, please don't share false information.\n<</SYS>>""")
+
+
+@dataclass
+class VideoLLaMA2:
+    """Loaded model handle (stands in for the HF nn.Module the reference
+    returns from model_init)."""
+    config: ModelConfig
+    engine: Engine
+
+    @property
+    def model_type(self) -> str:
+        return self.config.model_type
+
+
+def model_init(model_path: Optional[str] = None, dtype=None,
+               max_len: int = 4096, **kwargs):
+    """Load a checkpoint directory; returns (model, processor, tokenizer).
+
+    Parity: videollama2/__init__.py:14-29.
+    """
+    import jax.numpy as jnp
+    if dtype is None:
+        dtype = jnp.bfloat16
+    if model_path is None:
+        raise ValueError("model_path is required (no network access)")
+
+    cfg, params = convert_hf.load_videollama2(model_path)
+    engine = Engine(cfg, params, dtype=dtype, max_len=max_len, **kwargs)
+    model = VideoLLaMA2(config=cfg, engine=engine)
+
+    from transformers import AutoTokenizer
+    tokenizer = AutoTokenizer.from_pretrained(model_path, use_fast=True)
+    if tokenizer.pad_token is None and tokenizer.unk_token is not None:
+        tokenizer.pad_token = tokenizer.unk_token
+
+    num_frames = cfg.num_frames if cfg.num_frames else NUM_FRAMES
+    processor = {
+        "image": functools.partial(process_image, cfg=cfg.vision,
+                                   aspect_ratio=None),
+        "video": functools.partial(process_video, cfg=cfg.vision,
+                                   aspect_ratio=None, num_frames=num_frames),
+    }
+    return model, processor, tokenizer
+
+
+def mm_infer(image_or_video, instruct, model: VideoLLaMA2, tokenizer,
+             modal: str = "video", **kwargs) -> str:
+    """Single-sample multimodal inference; parity videollama2/__init__.py:32-114.
+
+    image_or_video: [T, H, W, 3] float32 numpy (channels-last; the TPU-native
+    layout produced by this package's processors).
+    """
+    from ..constants import DEFAULT_AUDIO_TOKEN
+    if modal == "image":
+        modal_token = DEFAULT_IMAGE_TOKEN
+    elif modal == "video":
+        modal_token = DEFAULT_VIDEO_TOKEN
+    elif modal == "audio":
+        modal_token = DEFAULT_AUDIO_TOKEN
+    elif modal == "text":
+        modal_token = ""
+    else:
+        raise ValueError(f"Unsupported modal: {modal}")
+
+    cfg = model.config
+    frames = None
+    audio = None
+    if modal == "audio":
+        audio = _prep_audio(image_or_video, cfg)
+    elif modal != "text":
+        arr = np.asarray(image_or_video, dtype=np.float32)
+        T = cfg.num_frames
+        if modal == "image":
+            # expand image to num_frames identical frames
+            # (videollama2_arch.py:119-120)
+            arr = np.broadcast_to(arr[:1], (T,) + arr.shape[1:])
+        frames = arr[None]  # [1, T, H, W, 3]
+
+    if isinstance(instruct, str):
+        message = [{"role": "user", "content": modal_token + "\n" + instruct}]
+    elif isinstance(instruct, list):
+        message = copy.deepcopy(instruct)
+        message[0]["content"] = modal_token + "\n" + message[0]["content"]
+    else:
+        raise ValueError(f"Unsupported type of instruct: {type(instruct)}")
+
+    if cfg.model_type in ("videollama2", "videollama2_mistral",
+                          "videollama2_mixtral"):
+        message = [{"role": "system", "content": MISTRAL_SYSTEM}] + message
+
+    prompt = tokenizer.apply_chat_template(message, tokenize=False,
+                                           add_generation_prompt=True)
+    input_ids = tokenizer_multimodal_token(prompt, tokenizer, modal_token)
+
+    gen = GenerationConfig(
+        do_sample=kwargs.get("do_sample", False),
+        temperature=kwargs.get("temperature",
+                               0.2 if kwargs.get("do_sample", False) else 0.0),
+        top_p=kwargs.get("top_p", 0.9),
+        max_new_tokens=kwargs.get("max_new_tokens", 2048),
+        seed=kwargs.get("seed", 0),
+    )
+    eos = tokenizer.eos_token_id
+    outs = model.engine.generate([input_ids], frames=frames, audio=audio,
+                                 gen=gen, eos_token_id=eos)
+    return tokenizer.decode(outs[0], skip_special_tokens=True).strip()
+
+
+def _prep_audio(audio_input, cfg) -> "np.ndarray":
+    """Load/normalize audio to [1, audio.max_frames, 128] fbank features."""
+    from ..media import audio as audio_lib
+    assert cfg.audio is not None, "model has no audio branch"
+    if isinstance(audio_input, str):
+        wav = audio_lib.load_wav(audio_input)
+        feats = audio_lib.beats_preprocess(wav)
+    else:
+        arr = np.asarray(audio_input, dtype=np.float32)
+        feats = (audio_lib.beats_preprocess(arr) if arr.ndim == 1 else arr)
+    T = cfg.audio.max_frames
+    if feats.shape[0] < T:
+        feats = np.pad(feats, ((0, T - feats.shape[0]), (0, 0)))
+    return feats[None, :T]

@@ -1,0 +1,282 @@
+"""Generation engine: jitted multimodal prefill + chunked on-device decode.
+
+Replaces the HF GenerationMixin python loop the reference relies on
+(videollama2/model/videollama2_mistral.py:110-144 -> HF generate). TPU-native
+design:
+
+  * prompts are padded to a small set of static BUCKETS so each bucket
+    compiles once; the KV cache is preallocated at `max_len`;
+  * decoding runs as a `lax.scan` of DECODE_CHUNK steps per device call with
+    the cache DONATED (no reallocation, no host round-trip per token) —
+    between chunks the host checks EOS/keyword stopping and streams text,
+    preserving KeywordsStoppingCriteria behavior (mm_utils.py:314-345)
+    without a per-token device sync;
+  * once every sequence has finished inside a chunk, the remaining scan steps
+    still execute but their writes are masked — wasted work is bounded by
+    DECODE_CHUNK-1 tokens per sequence.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import ModelConfig
+from ..models import llm as llm_lib
+from ..models import videollama2 as vl2
+from ..multimodal import splice as splice_lib
+from . import sampling
+
+DEFAULT_BUCKETS = (128, 256, 512, 1024, 2048, 4096)
+DECODE_CHUNK = 32
+
+
+@dataclass
+class GenerationConfig:
+    """Defaults parity: videollama2/__init__.py:93-96."""
+    do_sample: bool = False
+    temperature: float = 0.2
+    top_p: float = 0.9
+    max_new_tokens: int = 2048
+    seed: int = 0
+
+
+class Engine:
+    """Compiled generation over a fixed ModelConfig + params."""
+
+    def __init__(self, cfg: ModelConfig, params: dict,
+                 dtype=jnp.bfloat16, max_len: int = 4096,
+                 buckets: Sequence[int] = DEFAULT_BUCKETS,
+                 attn_impl: str = "auto", decode_chunk: int = DECODE_CHUNK,
+                 shard_fn: Optional[Callable] = None):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.max_len = max_len
+        self.buckets = tuple(b for b in buckets if b <= max_len)
+        self.attn_impl = attn_impl
+        self.decode_chunk = decode_chunk
+        self.params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+        if shard_fn is not None:
+            self.params = shard_fn(self.params)
+        self._prefill_cache = {}
+        self._decode_fn = None
+        self._encode_fn = None
+
+    # -- compiled pieces ---------------------------------------------------
+
+    def _get_prefill(self, seq_len: int, batch: int, mode: str):
+        """mode: 'text' | 'vision' | 'audio' | 'av'."""
+        key = (seq_len, batch, mode)
+        if key not in self._prefill_cache:
+            cfg, attn_impl = self.cfg, self.attn_impl
+
+            @functools.partial(jax.jit, donate_argnums=(6,))
+            def prefill_vision(params, frames, text_ids, is_visual,
+                               vis_index, valid_len, cache):
+                positions = jnp.broadcast_to(
+                    jnp.arange(text_ids.shape[1]), text_ids.shape)
+                last, cache = vl2.prefill_multimodal(
+                    params, cfg, frames, text_ids, is_visual, vis_index,
+                    positions, valid_len, cache, attn_impl=attn_impl)
+                logits = llm_lib.lm_logits(params["llm"], cfg.llm, last)
+                return logits, cache
+
+            @functools.partial(jax.jit, donate_argnums=(6,))
+            def prefill_audio(params, fbank, text_ids, is_visual,
+                              vis_index, valid_len, cache):
+                aud = vl2.encode_audio(params, cfg, fbank)
+                from ..multimodal import splice as splice_lib
+                embeds = splice_lib.compose(
+                    params["llm"]["embed"]["weight"], aud, text_ids,
+                    is_visual, vis_index)
+                positions = jnp.broadcast_to(
+                    jnp.arange(text_ids.shape[1]), text_ids.shape)
+                last, cache = llm_lib.prefill(
+                    params["llm"], cfg.llm, embeds, positions, valid_len,
+                    cache, attn_impl=attn_impl)
+                logits = llm_lib.lm_logits(params["llm"], cfg.llm, last)
+                return logits, cache
+
+            @functools.partial(jax.jit, donate_argnums=(7,))
+            def prefill_av(params, frames, fbank, text_ids, is_visual,
+                           vis_index, valid_len, cache):
+                vis = vl2.encode_frames(params, cfg, frames,
+                                        attn_impl=attn_impl)
+                aud = vl2.encode_audio(params, cfg, fbank)
+                from ..multimodal import splice as splice_lib
+                # per-sample stack: video tokens then audio tokens (the AV
+                # template places <video> before <audio>)
+                tokens = jnp.concatenate([vis, aud], axis=1)
+                embeds = splice_lib.compose(
+                    params["llm"]["embed"]["weight"], tokens, text_ids,
+                    is_visual, vis_index)
+                positions = jnp.broadcast_to(
+                    jnp.arange(text_ids.shape[1]), text_ids.shape)
+                last, cache = llm_lib.prefill(
+                    params["llm"], cfg.llm, embeds, positions, valid_len,
+                    cache, attn_impl=attn_impl)
+                logits = llm_lib.lm_logits(params["llm"], cfg.llm, last)
+                return logits, cache
+
+            @functools.partial(jax.jit, donate_argnums=(3,))
+            def prefill_text(params, text_ids, valid_len, cache):
+                embeds = llm_lib.embed_tokens(params["llm"], text_ids,
+                                              dtype=self.dtype)
+                positions = jnp.broadcast_to(
+                    jnp.arange(text_ids.shape[1]), text_ids.shape)
+                last, cache = llm_lib.prefill(
+                    params["llm"], cfg.llm, embeds, positions, valid_len,
+                    cache, attn_impl=attn_impl)
+                logits = llm_lib.lm_logits(params["llm"], cfg.llm, last)
+                return logits, cache
+
+            self._prefill_cache[key] = {
+                "vision": prefill_vision, "audio": prefill_audio,
+                "av": prefill_av, "text": prefill_text}[mode]
+        return self._prefill_cache[key]
+
+    def _get_decode(self, do_sample: bool, temperature: float, top_p: float):
+        cfg = self.cfg
+        chunk = self.decode_chunk
+
+        @functools.partial(jax.jit, donate_argnums=(2,),
+                           static_argnames=("num_steps",))
+        def decode_chunk_fn(params, tokens, cache, cache_len, done, rng,
+                            eos_id, num_steps=chunk):
+            """tokens: [B] last sampled ids. Returns emitted [B, chunk]."""
+
+            def step(carry, _):
+                tokens, cache, cache_len, done, rng = carry
+                te = llm_lib.embed_tokens(params["llm"], tokens[:, None],
+                                          dtype=self.dtype)
+                logits, cache = llm_lib.decode_step(
+                    params["llm"], cfg.llm, te, cache, cache_len)
+                rng, sub = jax.random.split(rng)
+                nxt = sampling.select_token(sub, logits, do_sample,
+                                            temperature, top_p)
+                nxt = jnp.where(done, eos_id, nxt).astype(jnp.int32)
+                new_done = done | (nxt == eos_id)
+                cache_len = cache_len + jnp.where(done, 0, 1)
+                return (nxt, cache, cache_len, new_done, rng), nxt
+
+            (tokens, cache, cache_len, done, rng), out = jax.lax.scan(
+                step, (tokens, cache, cache_len, done, rng), None,
+                length=num_steps)
+            return out.T, tokens, cache, cache_len, done, rng
+
+        return decode_chunk_fn
+
+    # -- public API --------------------------------------------------------
+
+    def pick_bucket(self, length: int) -> int:
+        for b in self.buckets:
+            if length <= b:
+                return b
+        if length <= self.max_len:
+            return self.max_len
+        raise ValueError(f"prompt length {length} > max_len {self.max_len}")
+
+    def generate(self, batch_input_ids: List[Sequence[int]],
+                 frames: Optional[np.ndarray] = None,
+                 audio: Optional[np.ndarray] = None,
+                 gen: GenerationConfig = GenerationConfig(),
+                 eos_token_id: Optional[int] = None,
+                 stop_fn: Optional[Callable[[List[int]], bool]] = None,
+                 stream_cb: Optional[Callable[[int, List[int]], None]] = None,
+                 ) -> List[List[int]]:
+        """Generate continuations for a batch of tokenized prompts.
+
+        batch_input_ids may contain negative modal tokens; frames is
+        [B, T, H, W, 3] float32, one slot per sample (zeros rows for
+        text-only samples in a mixed batch), or None. audio is
+        [B, audio.max_frames, 128] normalized fbank features or None. For
+        joint AV prompts the <video>/<image> tag must precede <audio>.
+        Returns newly generated ids per sample (EOS included, parity with
+        HF generate output minus the prompt).
+        """
+        from ..constants import AUDIO_TOKEN_INDEX
+        cfg = self.cfg
+        eos = eos_token_id if eos_token_id is not None else cfg.llm.eos_token_id
+        B = len(batch_input_ids)
+        mode = ("av" if frames is not None and audio is not None else
+                "vision" if frames is not None else
+                "audio" if audio is not None else "text")
+        tokens_per_modal: Any = cfg.tokens_per_video
+        if audio is not None:
+            tokens_per_modal = {-200: cfg.tokens_per_video,
+                                -201: cfg.tokens_per_video,
+                                AUDIO_TOKEN_INDEX: cfg.tokens_per_audio}
+            if mode == "audio":
+                tokens_per_modal[-200] = tokens_per_modal[-201] = 0
+
+        lengths = [splice_lib.spliced_length(ids, tokens_per_modal)
+                   for ids in batch_input_ids]
+        bucket = self.pick_bucket(max(lengths))
+        plan = splice_lib.plan_batch(batch_input_ids, tokens_per_modal,
+                                     bucket)
+
+        cache = llm_lib.init_cache(cfg.llm, B, self.max_len, self.dtype)
+        prefill = self._get_prefill(bucket, B, mode)
+        plan_args = (jnp.asarray(plan.text_ids), jnp.asarray(plan.is_visual),
+                     jnp.asarray(plan.vis_index),
+                     jnp.asarray(plan.valid_len))
+        if mode == "vision":
+            logits, cache = prefill(self.params,
+                                    jnp.asarray(frames, self.dtype),
+                                    *plan_args, cache)
+        elif mode == "audio":
+            logits, cache = prefill(self.params,
+                                    jnp.asarray(audio, self.dtype),
+                                    *plan_args, cache)
+        elif mode == "av":
+            logits, cache = prefill(self.params,
+                                    jnp.asarray(frames, self.dtype),
+                                    jnp.asarray(audio, self.dtype),
+                                    *plan_args, cache)
+        else:
+            logits, cache = prefill(self.params, plan_args[0], plan_args[3],
+                                    cache)
+
+        decode = self._get_decode(gen.do_sample, gen.temperature, gen.top_p)
+        rng = jax.random.PRNGKey(gen.seed)
+        rng, sub = jax.random.split(rng)
+        first = sampling.select_token(sub, logits, gen.do_sample,
+                                      gen.temperature, gen.top_p)
+        first = first.astype(jnp.int32)
+        outs: List[List[int]] = [[int(t)] for t in np.asarray(first)]
+        done_np = np.array([o[-1] == eos for o in outs])
+        if stream_cb is not None:
+            for b in range(B):
+                stream_cb(b, outs[b])
+
+        tokens = first
+        cache_len = jnp.asarray(plan.valid_len)
+        done = jnp.asarray(done_np)
+        remaining = gen.max_new_tokens - 1
+        while remaining > 0 and not done_np.all():
+            steps = min(self.decode_chunk, remaining)
+            emitted, tokens, cache, cache_len, done, rng = decode(
+                self.params, tokens, cache, cache_len, done, rng,
+                jnp.int32(eos), num_steps=steps)
+            emitted = np.asarray(emitted)  # [B, steps]
+            for b in range(B):
+                if done_np[b]:
+                    continue
+                for t in emitted[b]:
+                    outs[b].append(int(t))
+                    if int(t) == eos:
+                        done_np[b] = True
+                        break
+                    if stop_fn is not None and stop_fn(outs[b]):
+                        done_np[b] = True
+                        break
+                if stream_cb is not None:
+                    stream_cb(b, outs[b])
+            remaining -= steps
+            done = jnp.asarray(done_np) | done
+        return outs

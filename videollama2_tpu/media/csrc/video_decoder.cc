@@ -1,0 +1,241 @@
+// TPU-native replacement for decord's C++ video reader.
+//
+// The reference does all video decode through decord's VideoReader
+// (videollama2/mm_utils.py:154-177: open, get_avg_fps, len, get_batch).
+// This library provides the same capability over FFmpeg's libavformat/
+// libavcodec/libswscale with a C ABI consumed via ctypes
+// (videollama2_tpu/media/video_reader.py).
+//
+// Design: seek-and-decode exactly the K requested frame indices. For each
+// sorted index we av_seek to the nearest prior keyframe and decode forward,
+// reusing the decode position when the next index is close (sequential reads
+// never re-seek). Output is packed RGB24 [N, H, W, 3], written into a
+// caller-provided buffer so numpy owns the allocation (zero extra copies on
+// the Python side).
+//
+// Build: media/csrc/Makefile -> libvideodec.so
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libswscale/swscale.h>
+}
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct VDContext {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* codec = nullptr;
+  SwsContext* sws = nullptr;
+  int stream_idx = -1;
+  int width = 0;
+  int height = 0;
+  double fps = 0.0;
+  int64_t num_frames = 0;
+  AVRational time_base{1, 1};
+  int64_t start_time = 0;
+  // decode cursor: next frame number the decoder will emit, -1 = unknown
+  int64_t cursor = -1;
+  AVFrame* frame = nullptr;
+  AVPacket* pkt = nullptr;
+  std::string error;
+};
+
+int64_t pts_to_frame(const VDContext* c, int64_t pts) {
+  if (pts == AV_NOPTS_VALUE) return -1;
+  double sec = (pts - c->start_time) * av_q2d(c->time_base);
+  return (int64_t)(sec * c->fps + 0.5);
+}
+
+int64_t frame_to_pts(const VDContext* c, int64_t frame) {
+  double sec = frame / c->fps;
+  return c->start_time + (int64_t)(sec / av_q2d(c->time_base) + 0.5);
+}
+
+}  // namespace
+
+extern "C" {
+
+VDContext* vd_open(const char* path) {
+  auto* c = new VDContext();
+  if (avformat_open_input(&c->fmt, path, nullptr, nullptr) < 0) {
+    delete c;
+    return nullptr;
+  }
+  if (avformat_find_stream_info(c->fmt, nullptr) < 0) {
+    avformat_close_input(&c->fmt);
+    delete c;
+    return nullptr;
+  }
+  c->stream_idx = av_find_best_stream(c->fmt, AVMEDIA_TYPE_VIDEO, -1, -1,
+                                      nullptr, 0);
+  if (c->stream_idx < 0) {
+    avformat_close_input(&c->fmt);
+    delete c;
+    return nullptr;
+  }
+  AVStream* st = c->fmt->streams[c->stream_idx];
+  const AVCodec* dec = avcodec_find_decoder(st->codecpar->codec_id);
+  if (!dec) {
+    avformat_close_input(&c->fmt);
+    delete c;
+    return nullptr;
+  }
+  c->codec = avcodec_alloc_context3(dec);
+  avcodec_parameters_to_context(c->codec, st->codecpar);
+  c->codec->thread_count = 2;  // matches decord num_threads=2 (mm_utils.py:154)
+  c->codec->thread_type = FF_THREAD_FRAME;
+  if (avcodec_open2(c->codec, dec, nullptr) < 0) {
+    avcodec_free_context(&c->codec);
+    avformat_close_input(&c->fmt);
+    delete c;
+    return nullptr;
+  }
+  c->width = c->codec->width;
+  c->height = c->codec->height;
+  c->time_base = st->time_base;
+  c->start_time = st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time;
+  AVRational afr = st->avg_frame_rate;
+  if (afr.num == 0 || afr.den == 0) afr = st->r_frame_rate;
+  c->fps = (afr.num && afr.den) ? av_q2d(afr) : 25.0;
+  c->num_frames = st->nb_frames;
+  if (c->num_frames <= 0) {
+    int64_t dur = st->duration;
+    if (dur > 0) {
+      c->num_frames = (int64_t)(dur * av_q2d(c->time_base) * c->fps + 0.5);
+    } else if (c->fmt->duration > 0) {
+      c->num_frames =
+          (int64_t)((double)c->fmt->duration / AV_TIME_BASE * c->fps + 0.5);
+    }
+  }
+  c->frame = av_frame_alloc();
+  c->pkt = av_packet_alloc();
+  return c;
+}
+
+void vd_close(VDContext* c) {
+  if (!c) return;
+  if (c->sws) sws_freeContext(c->sws);
+  if (c->frame) av_frame_free(&c->frame);
+  if (c->pkt) av_packet_free(&c->pkt);
+  if (c->codec) avcodec_free_context(&c->codec);
+  if (c->fmt) avformat_close_input(&c->fmt);
+  delete c;
+}
+
+long vd_num_frames(VDContext* c) { return (long)c->num_frames; }
+double vd_fps(VDContext* c) { return c->fps; }
+int vd_width(VDContext* c) { return c->width; }
+int vd_height(VDContext* c) { return c->height; }
+
+namespace {
+
+// Decode the next frame from the stream; returns frame number or -1 on EOF.
+int64_t decode_next(VDContext* c) {
+  while (true) {
+    int ret = avcodec_receive_frame(c->codec, c->frame);
+    if (ret == 0) {
+      int64_t pts = c->frame->best_effort_timestamp;
+      int64_t fn = pts_to_frame(c, pts);
+      if (fn < 0) fn = c->cursor;  // no pts: trust the cursor
+      c->cursor = fn + 1;
+      return fn;
+    }
+    if (ret == AVERROR_EOF) return -1;
+    if (ret != AVERROR(EAGAIN)) return -1;
+    // feed more packets
+    while (true) {
+      ret = av_read_frame(c->fmt, c->pkt);
+      if (ret < 0) {
+        avcodec_send_packet(c->codec, nullptr);  // flush
+        break;
+      }
+      if (c->pkt->stream_index == c->stream_idx) {
+        ret = avcodec_send_packet(c->codec, c->pkt);
+        av_packet_unref(c->pkt);
+        if (ret == 0) break;
+        if (ret != AVERROR(EAGAIN)) return -1;
+      } else {
+        av_packet_unref(c->pkt);
+      }
+    }
+  }
+}
+
+bool seek_to(VDContext* c, int64_t frame_idx) {
+  int64_t pts = frame_to_pts(c, frame_idx);
+  if (av_seek_frame(c->fmt, c->stream_idx, pts, AVSEEK_FLAG_BACKWARD) < 0)
+    return false;
+  avcodec_flush_buffers(c->codec);
+  c->cursor = -1;
+  return true;
+}
+
+void write_rgb(VDContext* c, uint8_t* dst) {
+  c->sws = sws_getCachedContext(
+      c->sws, c->frame->width, c->frame->height,
+      (AVPixelFormat)c->frame->format, c->width, c->height, AV_PIX_FMT_RGB24,
+      SWS_BILINEAR, nullptr, nullptr, nullptr);
+  uint8_t* dst_data[4] = {dst, nullptr, nullptr, nullptr};
+  int dst_linesize[4] = {3 * c->width, 0, 0, 0};
+  sws_scale(c->sws, c->frame->data, c->frame->linesize, 0, c->frame->height,
+            dst_data, dst_linesize);
+}
+
+}  // namespace
+
+// Decode frames at `indices` (ascending) into out [n, h, w, 3] uint8.
+// Returns number of frames written (== n on success).
+int vd_get_batch(VDContext* c, const long* indices, int n, uint8_t* out) {
+  const size_t frame_bytes = (size_t)c->width * c->height * 3;
+  int written = 0;
+  int64_t last_decoded = -1;
+  bool have_frame = false;
+  for (int i = 0; i < n; ++i) {
+    int64_t target = indices[i];
+    if (have_frame && last_decoded == target) {
+      // duplicate index: copy previous output
+      std::memcpy(out + (size_t)written * frame_bytes,
+                  out + (size_t)(written - 1) * frame_bytes, frame_bytes);
+      ++written;
+      continue;
+    }
+    // Re-seek when jumping backwards or far forwards (> ~4s of frames).
+    int64_t gap_limit = (int64_t)(c->fps * 4) + 1;
+    if (c->cursor < 0 || target < c->cursor ||
+        target > c->cursor + gap_limit) {
+      if (!seek_to(c, target)) {
+        // fall back to sequential from start
+        if (!seek_to(c, 0)) return written;
+      }
+    }
+    int64_t fn;
+    bool got = false;
+    // decode forward until we reach (or pass) the target
+    while ((fn = decode_next(c)) >= 0) {
+      if (fn >= target) {
+        got = true;
+        break;
+      }
+    }
+    if (!got) {
+      // EOF before target (truncated stream): reuse last good frame if any
+      if (!have_frame) return written;
+    } else {
+      last_decoded = fn;
+      have_frame = true;
+    }
+    write_rgb(c, out + (size_t)written * frame_bytes);
+    ++written;
+  }
+  return written;
+}
+
+}  // extern "C"

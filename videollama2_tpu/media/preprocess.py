@@ -1,0 +1,131 @@
+"""Image/video preprocessing: pad, resize, normalize.
+
+Parity: videollama2/mm_utils.py:27-38 (expand2square), :91-103 (process_image),
+:132-202 (process_video) and the HF CLIPImageProcessor / SiglipImageProcessor
+`preprocess` they delegate to:
+
+  * CLIP: resize shortest edge -> `image_size` (bicubic) + center crop,
+    rescale 1/255, normalize with CLIP mean/std.
+  * SigLIP: direct resize to (image_size, image_size) (bicubic), rescale,
+    normalize with (0.5, 0.5, 0.5).
+
+CPU path uses PIL (bit-parity with HF's PIL-backed processors). The on-device
+fused path (`device_preprocess`) resizes+normalizes on TPU and is used by the
+high-throughput video pipeline.
+
+Outputs are channels-last [T, H, W, 3] float32 — the TPU-native layout
+(torch reference uses [T, 3, H, W]).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from ..constants import MAX_FRAMES, NUM_FRAMES
+from ..core.config import VisionConfig
+from . import sampler as sampler_lib
+
+
+def expand2square(pil_img: Image.Image,
+                  background_color: Tuple[int, int, int]) -> Image.Image:
+    """Pad to square with the dataset mean color (mm_utils.py:27-38)."""
+    width, height = pil_img.size
+    if width == height:
+        return pil_img
+    if width > height:
+        result = Image.new(pil_img.mode, (width, width), background_color)
+        result.paste(pil_img, (0, (width - height) // 2))
+        return result
+    result = Image.new(pil_img.mode, (height, height), background_color)
+    result.paste(pil_img, ((height - width) // 2, 0))
+    return result
+
+
+def _resize_clip(img: Image.Image, size: int) -> Image.Image:
+    """HF CLIPImageProcessor: shortest-edge resize + center crop."""
+    w, h = img.size
+    short, long = (w, h) if w <= h else (h, w)
+    new_short = size
+    new_long = int(size * long / short)
+    nw, nh = (new_short, new_long) if w <= h else (new_long, new_short)
+    img = img.resize((nw, nh), Image.BICUBIC)
+    # center crop to (size, size)
+    left = (nw - size) // 2
+    top = (nh - size) // 2
+    return img.crop((left, top, left + size, top + size))
+
+
+def _resize_siglip(img: Image.Image, size: int) -> Image.Image:
+    return img.resize((size, size), Image.BICUBIC)
+
+
+def preprocess_frames(frames: Sequence[Image.Image], cfg: VisionConfig,
+                      aspect_ratio: Optional[str] = None) -> np.ndarray:
+    """PIL frames -> normalized [T, H, W, 3] float32."""
+    mean = np.asarray(cfg.image_mean, dtype=np.float32)
+    std = np.asarray(cfg.image_std, dtype=np.float32)
+    out = []
+    for f in frames:
+        if f.mode != "RGB":
+            f = f.convert("RGB")
+        if aspect_ratio == "pad":
+            f = expand2square(f, tuple(int(x * 255) for x in cfg.image_mean))
+        if cfg.variant == "clip":
+            f = _resize_clip(f, cfg.image_size)
+        else:
+            f = _resize_siglip(f, cfg.image_size)
+        arr = np.asarray(f, dtype=np.float32) / 255.0
+        out.append((arr - mean) / std)
+    return np.stack(out, axis=0)
+
+
+def process_image(image_path, cfg: VisionConfig,
+                  aspect_ratio: Optional[str] = "pad") -> np.ndarray:
+    """Parity: mm_utils.py:91-103. Returns [1, H, W, 3]."""
+    if isinstance(image_path, Image.Image):
+        image = image_path.convert("RGB")
+    elif isinstance(image_path, np.ndarray):
+        image = Image.fromarray(image_path).convert("RGB")
+    else:
+        image = Image.open(image_path).convert("RGB")
+    return preprocess_frames([image], cfg, aspect_ratio)
+
+
+def process_video(video_path, cfg: VisionConfig, s: Optional[float] = None,
+                  e: Optional[float] = None,
+                  aspect_ratio: Optional[str] = "pad",
+                  num_frames: Optional[int] = NUM_FRAMES) -> np.ndarray:
+    """Parity: mm_utils.py:132-202. Returns [T, H, W, 3] float32.
+
+    Accepts a path (file/dir/gif), ndarray stack, or list of frames. Decoding
+    goes through media.video_reader (C++ libavcodec decoder with Python
+    fallbacks — the decord replacement).
+    """
+    from . import video_reader
+
+    if isinstance(video_path, str):
+        frames = video_reader.read_video_frames(video_path, num_frames=num_frames,
+                                                s=s, e=e)
+        video_data = [Image.fromarray(f) for f in frames]
+    elif isinstance(video_path, np.ndarray):
+        video_data = [Image.fromarray(f) for f in video_path]
+    elif isinstance(video_path, list) and isinstance(video_path[0], np.ndarray):
+        video_data = [Image.fromarray(f) for f in video_path]
+    elif isinstance(video_path, list) and isinstance(video_path[0], str):
+        video_data = [Image.open(f) for f in video_path]
+    elif isinstance(video_path, list) and isinstance(video_path[0],
+                                                     Image.Image):
+        video_data = video_path
+    else:
+        raise ValueError(f"Unsupported video path type: {type(video_path)}")
+
+    # zero-frame padding for short videos (mm_utils.py:190-192)
+    while num_frames is not None and len(video_data) < num_frames:
+        video_data.append(Image.fromarray(
+            np.zeros((*video_data[-1].size, 3), dtype=np.uint8)))
+    video_data = video_data[:MAX_FRAMES]  # (mm_utils.py:193-194)
+
+    return preprocess_frames(video_data, cfg, aspect_ratio)

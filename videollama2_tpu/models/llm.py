@@ -1,0 +1,278 @@
+"""Unified causal decoder: Mistral / Qwen2 / Llama (dense) and Mixtral (MoE).
+
+The reference wraps four HF model families with identical multimodal glue
+(videollama2/model/videollama2_{mistral,qwen2,llama,mixtral}.py). Here one
+functional, layer-stacked decoder covers all four, switched by `LLMConfig`:
+
+  * layers are STACKED along a leading axis and iterated with `lax.scan`,
+    so XLA compiles one layer body regardless of depth (fast compiles,
+    trivially shardable param tree);
+  * KV caches are preallocated, donated buffers written with per-sample
+    dynamic slices (static shapes end-to-end — no HF-style python loop);
+  * GQA attention with fp32 softmax; RoPE in the HF rotate-half layout so
+    converted checkpoints are bit-compatible.
+
+Param tree layout (kernels are [in, out], i.e. transposed torch Linear):
+  embed.weight            [V, D]
+  layers.attn_norm.scale  [L, D]
+  layers.{q,k,v}.kernel   [L, D, H*hd]   (+ .bias for Qwen2)
+  layers.o.kernel         [L, H*hd, D]
+  layers.mlp_norm.scale   [L, D]
+  layers.{gate,up}.kernel [L, D, F]      (MoE: [L, E, D, F])
+  layers.down.kernel      [L, F, D]      (MoE: [L, E, F, D])
+  layers.router.kernel    [L, D, E]      (MoE only)
+  final_norm.scale        [D]
+  lm_head.kernel          [D, V]         (absent when tied embeddings)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import LLMConfig
+from ..ops import attention as attn_ops
+from ..ops.layers import apply_rope, dense, rms_norm, rope_table
+
+
+class KVCache(NamedTuple):
+    """Preallocated per-layer KV cache. k/v: [L, B, M, Hkv, hd]."""
+    k: jax.Array
+    v: jax.Array
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+def init_cache(cfg: LLMConfig, batch: int, max_len: int,
+               dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_params(rng: jax.Array, cfg: LLMConfig, dtype=jnp.float32) -> dict:
+    L, D, F = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    H, K, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    keys = jax.random.split(rng, 16)
+    std = 0.02
+
+    def normal(key, shape):
+        return (jax.random.normal(key, shape, jnp.float32) * std).astype(dtype)
+
+    layers = {
+        "attn_norm": {"scale": jnp.ones((L, D), dtype)},
+        "q": {"kernel": normal(keys[0], (L, D, H * hd))},
+        "k": {"kernel": normal(keys[1], (L, D, K * hd))},
+        "v": {"kernel": normal(keys[2], (L, D, K * hd))},
+        "o": {"kernel": normal(keys[3], (L, H * hd, D))},
+        "mlp_norm": {"scale": jnp.ones((L, D), dtype)},
+    }
+    if cfg.qkv_bias:
+        layers["q"]["bias"] = jnp.zeros((L, H * hd), dtype)
+        layers["k"]["bias"] = jnp.zeros((L, K * hd), dtype)
+        layers["v"]["bias"] = jnp.zeros((L, K * hd), dtype)
+    if cfg.is_moe:
+        E = cfg.num_experts
+        layers["router"] = {"kernel": normal(keys[4], (L, D, E))}
+        layers["gate"] = {"kernel": normal(keys[5], (L, E, D, F))}
+        layers["up"] = {"kernel": normal(keys[6], (L, E, D, F))}
+        layers["down"] = {"kernel": normal(keys[7], (L, E, F, D))}
+    else:
+        layers["gate"] = {"kernel": normal(keys[5], (L, D, F))}
+        layers["up"] = {"kernel": normal(keys[6], (L, D, F))}
+        layers["down"] = {"kernel": normal(keys[7], (L, F, D))}
+
+    params = {
+        "embed": {"weight": normal(keys[8], (cfg.vocab_size, D))},
+        "layers": layers,
+        "final_norm": {"scale": jnp.ones((D,), dtype)},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"kernel": normal(keys[9], (D, cfg.vocab_size))}
+    return params
+
+
+def embed_tokens(params: dict, token_ids: jax.Array,
+                 dtype=None) -> jax.Array:
+    w = params["embed"]["weight"]
+    if dtype is not None:
+        w = w.astype(dtype)
+    return jnp.take(w, token_ids, axis=0)
+
+
+def lm_logits(params: dict, cfg: LLMConfig, hidden: jax.Array) -> jax.Array:
+    """Project hidden states to vocabulary logits (fp32)."""
+    if cfg.tie_word_embeddings:
+        kernel = params["embed"]["weight"].T
+    else:
+        kernel = params["lm_head"]["kernel"]
+    return jnp.einsum("...d,dv->...v", hidden, kernel.astype(hidden.dtype),
+                      preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Layer bodies
+# ---------------------------------------------------------------------------
+
+def _ffn_moe(x: jax.Array, lp: dict, cfg: LLMConfig) -> jax.Array:
+    """Mixtral sparse-MoE FFN (HF MixtralSparseMoeBlock semantics).
+
+    Correctness-first dense formulation: every expert computes every token and
+    unselected experts are zero-weighted. The `expert` mesh axis shards the E
+    dimension so each device only holds (and computes) its experts; a
+    capacity-based gather dispatch is the planned optimization.
+    """
+    router_logits = jnp.einsum("...d,de->...e", x.astype(jnp.float32),
+                               lp["router"]["kernel"].astype(jnp.float32))
+    probs = jax.nn.softmax(router_logits, axis=-1)           # [..., E]
+    topw, topi = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+    topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    # scatter normalized top-k weights back to a dense [., E] weight tensor
+    oh = jax.nn.one_hot(topi, cfg.num_experts, dtype=probs.dtype)
+    weights = jnp.sum(oh * topw[..., None], axis=-2)          # [..., E]
+    g = jnp.einsum("bsd,edf->bsef", x, lp["gate"]["kernel"].astype(x.dtype))
+    u = jnp.einsum("bsd,edf->bsef", x, lp["up"]["kernel"].astype(x.dtype))
+    h = jax.nn.silu(g) * u
+    y = jnp.einsum("bsef,efd->bsed", h, lp["down"]["kernel"].astype(x.dtype))
+    return jnp.einsum("bsed,bse->bsd", y, weights.astype(x.dtype))
+
+
+def _attention_block(cfg: LLMConfig, x: jax.Array, lp: dict,
+                     cos: jax.Array, sin: jax.Array,
+                     valid_len: jax.Array, attn_impl: str = "auto"):
+    """Shared attention core. Returns (attn_out, (k, v)) with k/v pre-cache."""
+    B, S, D = x.shape
+    H, K, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    q = dense(x, lp["q"]).reshape(B, S, H, hd)
+    k = dense(x, lp["k"]).reshape(B, S, K, hd)
+    v = dense(x, lp["v"]).reshape(B, S, K, hd)
+    q, k = apply_rope(q, k, cos, sin)
+    out = attn_ops.attend(q, k, v, valid_len=valid_len, causal=True,
+                          window=cfg.sliding_window, impl=attn_impl)
+    out = out.reshape(B, S, H * hd)
+    return dense(out, lp["o"]), (k, v)
+
+
+def _layer(cfg: LLMConfig, x, lp, cos, sin, valid_len, attn_impl="auto"):
+    h = rms_norm(x, lp["attn_norm"]["scale"], cfg.rms_norm_eps)
+    attn_out, kv = _attention_block(cfg, h, lp, cos, sin, valid_len,
+                                    attn_impl)
+    x = x + attn_out
+    h = rms_norm(x, lp["mlp_norm"]["scale"], cfg.rms_norm_eps)
+    if cfg.is_moe:
+        ffn_out = _ffn_moe(h, lp, cfg)
+    else:
+        g = jax.nn.silu(dense(h, lp["gate"]))
+        u = dense(h, lp["up"])
+        ffn_out = dense(g * u, lp["down"])
+    return x + ffn_out, kv
+
+
+# ---------------------------------------------------------------------------
+# Forward passes
+# ---------------------------------------------------------------------------
+
+def forward(params: dict, cfg: LLMConfig, embeds: jax.Array,
+            positions: jax.Array, valid_len: jax.Array,
+            attn_impl: str = "auto", remat: bool = False
+            ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Full-sequence forward (prefill / training).
+
+    embeds: [B, S, D] already-spliced input embeddings.
+    positions: [B, S] RoPE positions. valid_len: [B].
+    Returns (hidden [B, S, D] post-final-norm, (k, v) [L, B, S, Hkv, hd]).
+    """
+    B, S, D = embeds.shape
+    cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
+
+    def body(x, lp):
+        out, kv = _layer(cfg, x, lp, cos, sin, valid_len,
+                         attn_impl=attn_impl)
+        return out, kv
+
+    if remat:
+        body = jax.checkpoint(body)
+    x, kvs = jax.lax.scan(body, embeds, params["layers"])
+    x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
+    return x, kvs
+
+
+def prefill(params: dict, cfg: LLMConfig, embeds: jax.Array,
+            positions: jax.Array, valid_len: jax.Array, cache: KVCache,
+            attn_impl: str = "auto") -> Tuple[jax.Array, KVCache]:
+    """Prefill: run the prompt, fill cache[:, :, :S], return last-token hidden.
+
+    Returns (last_hidden [B, D], cache).
+    """
+    hidden, (k, v) = forward(params, cfg, embeds, positions, valid_len,
+                             attn_impl=attn_impl)
+    S = embeds.shape[1]
+    new_k = jax.lax.dynamic_update_slice(
+        cache.k, k.astype(cache.k.dtype), (0, 0, 0, 0, 0))
+    new_v = jax.lax.dynamic_update_slice(
+        cache.v, v.astype(cache.v.dtype), (0, 0, 0, 0, 0))
+    # gather hidden state of the last *valid* token per sample
+    idx = jnp.clip(valid_len - 1, 0, S - 1)
+    last = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)[:, 0]
+    return last, KVCache(new_k, new_v)
+
+
+def _write_cache(cache_layer: jax.Array, new: jax.Array,
+                 index: jax.Array) -> jax.Array:
+    """cache_layer: [B, M, K, hd]; new: [B, 1, K, hd]; index: [B]."""
+    def upd(c, n, i):
+        return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), (i, 0, 0))
+    return jax.vmap(upd)(cache_layer, new, index)
+
+
+def decode_step(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
+                cache: KVCache, cache_len: jax.Array,
+                ) -> Tuple[jax.Array, KVCache]:
+    """One autoregressive step for all sequences in the batch.
+
+    token_embeds: [B, 1, D]; cache_len: [B] current lengths (also the write
+    position and RoPE position of the new token).
+    Returns (logits [B, V] fp32, updated cache).
+    """
+    B = token_embeds.shape[0]
+    M = cache.max_len
+    positions = cache_len[:, None]  # [B, 1]
+    cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
+    mask = attn_ops.make_decode_mask(cache_len, M, cfg.sliding_window)
+
+    def body(x, scan_in):
+        lp, ck, cv = scan_in
+        h = rms_norm(x, lp["attn_norm"]["scale"], cfg.rms_norm_eps)
+        H, K, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+        q = dense(h, lp["q"]).reshape(B, 1, H, hd)
+        k = dense(h, lp["k"]).reshape(B, 1, K, hd)
+        v = dense(h, lp["v"]).reshape(B, 1, K, hd)
+        q, k = apply_rope(q, k, cos, sin)
+        ck = _write_cache(ck, k, cache_len)
+        cv = _write_cache(cv, v, cache_len)
+        out = attn_ops.mha_xla(q, ck.astype(q.dtype), cv.astype(q.dtype),
+                               mask=mask)
+        out = dense(out.reshape(B, 1, H * hd), lp["o"])
+        x = x + out
+        h = rms_norm(x, lp["mlp_norm"]["scale"], cfg.rms_norm_eps)
+        if cfg.is_moe:
+            ffn_out = _ffn_moe(h, lp, cfg)
+        else:
+            g = jax.nn.silu(dense(h, lp["gate"]))
+            u = dense(h, lp["up"])
+            ffn_out = dense(g * u, lp["down"])
+        return x + ffn_out, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, token_embeds, (params["layers"], cache.k, cache.v))
+    x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
+    logits = lm_logits(params, cfg, x[:, 0])
+    return logits, KVCache(new_k, new_v)

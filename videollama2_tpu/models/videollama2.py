@@ -1,0 +1,137 @@
+"""Full multimodal model assembly: vision tower + connector + LLM.
+
+Parity: reference videollama2/model/videollama2_arch.py (Videollama2MetaModel
+/ Videollama2MetaForCausalLM) — vision encode over (b t) flattened frames,
+projector-type-dependent temporal aggregation, and the modal-token splice
+(here the static-shape version from multimodal/splice.py).
+
+Params tree: {"llm": ..., "vision": ..., "connector": ...[, "audio": ...]}.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import ModelConfig
+from ..multimodal import splice as splice_lib
+from . import connector as connector_lib
+from . import llm as llm_lib
+from . import vit as vit_lib
+
+
+def init_params(rng: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> dict:
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+    params = {
+        "llm": llm_lib.init_params(k1, cfg.llm, dtype),
+        "vision": vit_lib.init_params(k2, cfg.vision, dtype),
+        "connector": connector_lib.init_params(k3, cfg.connector, dtype),
+    }
+    if cfg.audio is not None:
+        from . import beats as beats_lib
+        params["audio"] = {
+            "encoder": beats_lib.init_params(k4, cfg.audio, dtype),
+            "projector": connector_lib._init_mlp(
+                k5, 2, cfg.audio.encoder_dim, cfg.llm.hidden_size, dtype),
+        }
+    return params
+
+
+def encode_frames(params: dict, cfg: ModelConfig, frames: jax.Array,
+                  attn_impl: str = "auto") -> jax.Array:
+    """Encode a batch of videos' frames through the frozen tower + connector.
+
+    frames: [B, T, H, W, 3] preprocessed pixels (images are expanded to T
+    identical frames by the caller, parity videollama2_arch.py:119-120).
+    Returns [B, tokens_per_video, hidden].
+    """
+    B, T = frames.shape[0], frames.shape[1]
+    flat = frames.reshape((B * T,) + frames.shape[2:])
+    feats = vit_lib.features(params["vision"], cfg.vision, flat,
+                             attn_impl=attn_impl)
+    feats = jax.lax.stop_gradient(feats)  # tower frozen (train.py:534)
+    feats = feats.reshape(B, T, feats.shape[1], feats.shape[2])
+    return temporal_aggregator(params, cfg, feats)
+
+
+def encode_audio(params: dict, cfg: ModelConfig,
+                 fbank_feats: jax.Array) -> jax.Array:
+    """Frozen BEATs encode + audio projector (VideoLLaMA2.1-AV branch).
+
+    fbank_feats: [B, audio.max_frames, 128] -> [B, tokens_per_audio, D_llm].
+    """
+    from . import beats as beats_lib
+    from . import connector as connector_lib
+    feats = beats_lib.forward(params["audio"]["encoder"], cfg.audio,
+                              fbank_feats)
+    feats = jax.lax.stop_gradient(feats)
+    return connector_lib._mlp(feats, params["audio"]["projector"])
+
+
+def temporal_aggregator(params: dict, cfg: ModelConfig,
+                        frame_feats: jax.Array) -> jax.Array:
+    """Projector-type dispatch (videollama2_arch.py:136-159).
+
+    frame_feats: [B, T, N, D_vision] -> [B, tokens, D_llm].
+    """
+    pt = cfg.connector.projector_type
+    if pt in ("mlp2x_gelu", "linear") or pt.startswith("mlp"):
+        pooled = jnp.mean(frame_feats, axis=1)  # mean over time (:144-146)
+        return connector_lib.apply(params["connector"], cfg.connector, pooled)
+    return connector_lib.apply(params["connector"], cfg.connector,
+                               frame_feats)
+
+
+def forward_train(params: dict, cfg: ModelConfig, frames: jax.Array,
+                  text_ids: jax.Array, is_visual: jax.Array,
+                  vis_index: jax.Array, positions: jax.Array,
+                  valid_len: jax.Array, labels: jax.Array,
+                  attn_impl: str = "auto", remat: bool = True
+                  ) -> Tuple[jax.Array, dict]:
+    """Training forward: returns (mean masked CE loss, metrics).
+
+    frames: [B, T, H, W, 3] (zeros slot for text-only samples); the splice
+    plan arrays come from
+    multimodal.splice.plan_batch. Labels use IGNORE_INDEX for unsupervised
+    positions; loss is next-token CE over supervised positions (HF causal-LM
+    shift semantics).
+    """
+    from ..constants import IGNORE_INDEX
+
+    vis_tokens = encode_frames(params, cfg, frames, attn_impl=attn_impl)
+    embeds = splice_lib.compose(params["llm"]["embed"]["weight"], vis_tokens,
+                                text_ids, is_visual, vis_index)
+    hidden, _ = llm_lib.forward(params["llm"], cfg.llm, embeds, positions,
+                                valid_len, attn_impl=attn_impl, remat=remat)
+    logits = llm_lib.lm_logits(params["llm"], cfg.llm, hidden)  # [B,S,V] f32
+
+    # shift: predict labels[t+1] from logits[t]
+    shift_logits = logits[:, :-1]
+    shift_labels = labels[:, 1:]
+    mask = (shift_labels != IGNORE_INDEX)
+    safe_labels = jnp.where(mask, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    token_ll = jnp.take_along_axis(logp, safe_labels[..., None],
+                                   axis=-1)[..., 0]
+    denom = jnp.maximum(jnp.sum(mask), 1)
+    loss = -jnp.sum(jnp.where(mask, token_ll, 0.0)) / denom
+    correct = jnp.sum((jnp.argmax(shift_logits, -1) == safe_labels) & mask)
+    metrics = {"loss": loss, "num_tokens": jnp.sum(mask),
+               "accuracy": correct / denom}
+    return loss, metrics
+
+
+def prefill_multimodal(params: dict, cfg: ModelConfig, frames: jax.Array,
+                       text_ids: jax.Array, is_visual: jax.Array,
+                       vis_index: jax.Array, positions: jax.Array,
+                       valid_len: jax.Array, cache: llm_lib.KVCache,
+                       attn_impl: str = "auto"
+                       ) -> Tuple[jax.Array, llm_lib.KVCache]:
+    """Inference prefill with visual splice. Returns (last_hidden, cache)."""
+    vis_tokens = encode_frames(params, cfg, frames, attn_impl=attn_impl)
+    embeds = splice_lib.compose(params["llm"]["embed"]["weight"], vis_tokens,
+                                text_ids, is_visual, vis_index)
+    return llm_lib.prefill(params["llm"], cfg.llm, embeds, positions,
+                           valid_len, cache, attn_impl=attn_impl)

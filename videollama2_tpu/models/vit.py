@@ -1,0 +1,159 @@
+"""Unified vision transformer: CLIP ViT-L/14-336 and SigLIP-SO400M/14-384.
+
+Parity target: reference videollama2/model/encoder.py:12-164 — thin wrappers
+over HF CLIPVisionModel / SiglipVisionModel that return
+`hidden_states[select_layer]` (CLS dropped for CLIP 'patch' mode). The tower
+is FROZEN in every reference training recipe (train.py:534), so no grads flow
+through it; we exploit that by running only the first
+`select_layer % (num_layers+1)` encoder layers — for the default -2 that
+skips the final layer's FLOPs entirely (HF computes it and throws it away).
+
+TPU-first choices: layers stacked + lax.scan; patch conv via XLA
+conv_general_dilated (maps to MXU); batch dim is (batch*frames) so the MXU
+sees one large GEMM per layer across all frames.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import VisionConfig
+from ..ops import attention as attn_ops
+from ..ops.layers import ACT2FN, dense, init_dense, layer_norm
+
+
+def init_params(rng: jax.Array, cfg: VisionConfig, dtype=jnp.float32) -> dict:
+    L, D, F = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    P = cfg.patch_size
+    keys = jax.random.split(rng, 12)
+    std = 0.02
+
+    def normal(key, shape):
+        return (jax.random.normal(key, shape, jnp.float32) * std).astype(dtype)
+
+    def ln(shape=(L, D)):
+        return {"scale": jnp.ones(shape, dtype), "bias": jnp.zeros(shape, dtype)}
+
+    layers = {
+        "ln1": ln(), "ln2": ln(),
+        "q": {"kernel": normal(keys[0], (L, D, D)),
+              "bias": jnp.zeros((L, D), dtype)},
+        "k": {"kernel": normal(keys[1], (L, D, D)),
+              "bias": jnp.zeros((L, D), dtype)},
+        "v": {"kernel": normal(keys[2], (L, D, D)),
+              "bias": jnp.zeros((L, D), dtype)},
+        "o": {"kernel": normal(keys[3], (L, D, D)),
+              "bias": jnp.zeros((L, D), dtype)},
+        "fc1": {"kernel": normal(keys[4], (L, D, F)),
+                "bias": jnp.zeros((L, F), dtype)},
+        "fc2": {"kernel": normal(keys[5], (L, F, D)),
+                "bias": jnp.zeros((L, D), dtype)},
+    }
+    params = {
+        "patch_embed": {"kernel": normal(keys[6], (P, P, 3, D))},
+        "pos_embed": {"weight": normal(keys[7], (cfg.seq_len, D))},
+        "layers": layers,
+        "post_ln": {"scale": jnp.ones((D,), dtype),
+                    "bias": jnp.zeros((D,), dtype)},
+    }
+    if cfg.variant == "clip":
+        params["cls_token"] = {"weight": normal(keys[8], (D,))}
+        params["pre_ln"] = {"scale": jnp.ones((D,), dtype),
+                            "bias": jnp.zeros((D,), dtype)}
+    else:
+        params["patch_embed"]["bias"] = jnp.zeros((D,), dtype)
+    return params
+
+
+def _patch_embed(params: dict, cfg: VisionConfig, pixels: jax.Array
+                 ) -> jax.Array:
+    """pixels: [N, H, W, 3] -> [N, num_patches, D] via strided conv."""
+    kernel = params["patch_embed"]["kernel"].astype(pixels.dtype)
+    P = cfg.patch_size
+    out = jax.lax.conv_general_dilated(
+        pixels, kernel, window_strides=(P, P), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if "bias" in params["patch_embed"]:
+        out = out + params["patch_embed"]["bias"].astype(out.dtype)
+    n, h, w, d = out.shape
+    return out.reshape(n, h * w, d)
+
+
+def embeddings(params: dict, cfg: VisionConfig, pixels: jax.Array
+               ) -> jax.Array:
+    """HF CLIPVisionEmbeddings / SiglipVisionEmbeddings."""
+    x = _patch_embed(params, cfg, pixels)
+    n = x.shape[0]
+    if cfg.use_cls_token:
+        cls = jnp.broadcast_to(
+            params["cls_token"]["weight"].astype(x.dtype)[None, None, :],
+            (n, 1, x.shape[-1]))
+        x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embed"]["weight"].astype(x.dtype)[None]
+    return x
+
+
+def _encoder_layer(cfg: VisionConfig, x: jax.Array, lp: dict,
+                   attn_impl: str) -> jax.Array:
+    N, S, D = x.shape
+    H, hd = cfg.num_heads, cfg.head_dim
+    act = ACT2FN[cfg.hidden_act]
+    h = layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"],
+                   cfg.layer_norm_eps)
+    q = dense(h, lp["q"]).reshape(N, S, H, hd)
+    k = dense(h, lp["k"]).reshape(N, S, H, hd)
+    v = dense(h, lp["v"]).reshape(N, S, H, hd)
+    attn = attn_ops.attend(q, k, v, causal=False, impl=attn_impl)
+    x = x + dense(attn.reshape(N, S, D), lp["o"])
+    h = layer_norm(x, lp["ln2"]["scale"], lp["ln2"]["bias"],
+                   cfg.layer_norm_eps)
+    return x + dense(act(dense(h, lp["fc1"])), lp["fc2"])
+
+
+def _slice_layers(layers: dict, n: int) -> dict:
+    return jax.tree.map(lambda a: a[:n], layers)
+
+
+def features(params: dict, cfg: VisionConfig, pixels: jax.Array,
+             attn_impl: str = "auto") -> jax.Array:
+    """Frozen feature extraction: hidden_states[select_layer] (+CLS drop).
+
+    pixels: [N, H, W, 3] preprocessed frames. Returns [N, tokens, D].
+    Equivalent to encoder.py:31-53 / 103-123, but computes only the layers
+    actually needed for `select_layer`.
+    """
+    x = embeddings(params, cfg, pixels)
+    if cfg.variant == "clip":
+        x = layer_norm(x, params["pre_ln"]["scale"], params["pre_ln"]["bias"],
+                       cfg.layer_norm_eps)
+    sel = cfg.select_layer % (cfg.num_layers + 1)  # hidden_states index
+    layers = _slice_layers(params["layers"], sel)
+
+    def body(h, lp):
+        return _encoder_layer(cfg, h, lp, attn_impl), None
+
+    x, _ = jax.lax.scan(body, x, layers)
+    if cfg.select_feature == "patch" and cfg.use_cls_token:
+        x = x[:, 1:]
+    elif cfg.select_feature not in ("patch", "cls_patch"):
+        raise ValueError(f"Unexpected select feature: {cfg.select_feature}")
+    return x
+
+
+def forward_full(params: dict, cfg: VisionConfig, pixels: jax.Array,
+                 attn_impl: str = "auto") -> jax.Array:
+    """All layers + post-LN last hidden state (for completeness/eval)."""
+    x = embeddings(params, cfg, pixels)
+    if cfg.variant == "clip":
+        x = layer_norm(x, params["pre_ln"]["scale"], params["pre_ln"]["bias"],
+                       cfg.layer_norm_eps)
+
+    def body(h, lp):
+        return _encoder_layer(cfg, h, lp, attn_impl), None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return layer_norm(x, params["post_ln"]["scale"], params["post_ln"]["bias"],
+                      cfg.layer_norm_eps)

@@ -1,0 +1,137 @@
+"""Attention dispatch: XLA reference implementations + Pallas fast paths.
+
+Replaces flash-attn 2.5.8, which the reference forces on both the vision
+towers (videollama2/model/encoder.py:24,96) and the LLM (train.py:574,
+model/__init__.py:73-74). `attend` carries STRUCTURED mask info (causal flag,
+per-batch valid lengths, sliding window) rather than a materialized mask so
+the Pallas kernel can exploit block sparsity; the XLA path materializes the
+same mask and produces identical results up to fp tolerance.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30  # large finite negative; avoids NaN from (-inf) - (-inf)
+
+
+def _repeat_kv(k: jax.Array, n_rep: int) -> jax.Array:
+    """[B, S, Hkv, D] -> [B, S, Hkv*n_rep, D] (GQA head expansion)."""
+    if n_rep == 1:
+        return k
+    b, s, h, d = k.shape
+    k = jnp.broadcast_to(k[:, :, :, None, :], (b, s, h, n_rep, d))
+    return k.reshape(b, s, h * n_rep, d)
+
+
+def mha_xla(q: jax.Array, k: jax.Array, v: jax.Array,
+            mask: Optional[jax.Array] = None,
+            scale: Optional[float] = None) -> jax.Array:
+    """Reference multi-head attention with an explicit mask.
+
+    q: [B, Sq, Hq, D]; k/v: [B, Sk, Hkv, D]; mask broadcastable to
+    [B, Hq, Sq, Sk] (True = attend). fp32 softmax accumulation.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    n_rep = q.shape[2] // k.shape[2]
+    k = _repeat_kv(k, n_rep)
+    v = _repeat_kv(v, n_rep)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, _NEG_INF)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def make_prefill_mask(valid_len: jax.Array, seq_len: int,
+                      sliding_window: Optional[int] = None) -> jax.Array:
+    """Causal + right-padding mask for prefill: [B, 1, S, S] boolean."""
+    qi = jnp.arange(seq_len)[:, None]
+    ki = jnp.arange(seq_len)[None, :]
+    m = qi >= ki
+    if sliding_window is not None:
+        m = m & (qi - ki < sliding_window)
+    key_valid = ki[None, :, :] < valid_len[:, None, None]  # [B, 1, S]
+    return (m[None] & key_valid)[:, None]
+
+
+def make_decode_mask(cache_len: jax.Array, max_len: int,
+                     sliding_window: Optional[int] = None) -> jax.Array:
+    """Mask for one-token decode against a cache: [B, 1, 1, max_len]."""
+    ki = jnp.arange(max_len)[None, :]
+    m = ki <= cache_len[:, None]
+    if sliding_window is not None:
+        m = m & (cache_len[:, None] - ki < sliding_window)
+    return m[:, None, None, :]
+
+
+def attend_xla(q, k, v, valid_len=None, causal: bool = True,
+               window: Optional[int] = None,
+               scale: Optional[float] = None) -> jax.Array:
+    """Structured-mask attention, XLA path."""
+    B, Sq = q.shape[0], q.shape[1]
+    Sk = k.shape[1]
+    mask = None
+    if causal or valid_len is not None or window is not None:
+        qi = jnp.arange(Sq)[:, None]
+        ki = jnp.arange(Sk)[None, :]
+        m = jnp.ones((Sq, Sk), bool)
+        if causal:
+            m = m & (qi >= ki)
+        if window is not None:
+            m = m & (qi - ki < window)
+        mask = jnp.broadcast_to(m[None, None], (B, 1, Sq, Sk))
+        if valid_len is not None:
+            mask = mask & (ki[None, None] < valid_len[:, None, None, None])
+    return mha_xla(q, k, v, mask=mask, scale=scale)
+
+
+def attend(q, k, v, valid_len=None, causal: bool = True,
+           window: Optional[int] = None, scale: Optional[float] = None,
+           impl: str = "auto") -> jax.Array:
+    """Attention entry point used by all full-sequence forwards.
+
+    impl: 'auto' (Pallas on TPU when shapes allow) | 'xla' | 'pallas'.
+    Sliding-window currently routes to XLA (Mistral v0.2+ disables SW).
+    """
+    if impl == "auto":
+        impl = "pallas" if (_on_tpu() and window is None
+                            and q.shape[-1] % 64 == 0
+                            and q.shape[1] >= 128) else "xla"
+    if impl == "pallas":
+        from .flash_attention import flash_attention_vjp
+        if scale is None:
+            scale = q.shape[-1] ** -0.5
+        Sq, Sk = q.shape[1], k.shape[1]
+        pad_q = (-Sq) % 128
+        pad_k = (-Sk) % 128
+        if pad_q or pad_k:  # e.g. ViT's 577/729 patch tokens
+            vl = valid_len if valid_len is not None else \
+                jnp.full((q.shape[0],), Sk, jnp.int32)
+            q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
+            k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+            out = flash_attention_vjp(q, k, v, vl, causal, scale)
+            return out[:, :Sq]
+        return flash_attention_vjp(q, k, v, valid_len, causal, scale)
+    return attend_xla(q, k, v, valid_len=valid_len, causal=causal,
+                      window=window, scale=scale)
+
+
+def mha(q, k, v, mask=None, scale=None, impl: str = "auto"):
+    """Legacy explicit-mask entry (decode path). Always XLA."""
+    return mha_xla(q, k, v, mask=mask, scale=scale)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False

@@ -1,0 +1,127 @@
+"""Core neural-net primitives shared across models.
+
+Numerics follow the HF torch implementations the reference builds on
+(RMSNorm/RoPE per MistralModel; activations per CLIP/SigLIP) so that the
+checkpoint converter yields token-parity. All normalization math runs in
+float32 regardless of the compute dtype.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Activations
+# ---------------------------------------------------------------------------
+
+def quick_gelu(x):
+    """CLIP's QuickGELU: x * sigmoid(1.702 * x)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def gelu_tanh(x):
+    """torch F.gelu(approximate='tanh') — SigLIP's gelu_pytorch_tanh."""
+    return jax.nn.gelu(x, approximate=True)
+
+
+def gelu_exact(x):
+    """torch nn.GELU() default (erf-based) — STC readout MLP (projector.py:128)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+ACT2FN = {
+    "quick_gelu": quick_gelu,
+    "gelu_pytorch_tanh": gelu_tanh,
+    "gelu": gelu_exact,
+    "gelu_new": gelu_tanh,
+    "silu": jax.nn.silu,
+    "relu": jax.nn.relu,
+}
+
+
+# ---------------------------------------------------------------------------
+# Norms
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
+    """RMSNorm with fp32 statistics (HF MistralRMSNorm semantics:
+    hidden cast to fp32, normalized, cast back, then scaled)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + eps)
+    return (xf.astype(dtype) * scale.astype(dtype)).astype(dtype)
+
+
+def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
+               eps: float) -> jax.Array:
+    """Standard LayerNorm over the last axis, fp32 statistics."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Rotary position embeddings (HF Llama/Mistral "rotate_half" layout)
+# ---------------------------------------------------------------------------
+
+def rope_table(positions: jax.Array, head_dim: int, theta: float,
+               dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables for given integer positions.
+
+    positions: [...]; returns cos,sin of shape [..., head_dim].
+    Matches HF: inv_freq over even indices, concat(freqs, freqs).
+    """
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2,
+                                           dtype=jnp.float32) / head_dim))
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., hd/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def _rotate_half(x):
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope(q: jax.Array, k: jax.Array, cos: jax.Array,
+               sin: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Apply RoPE. q/k: [B, S, H, hd]; cos/sin: [B, S, hd] (broadcast over H)."""
+    cos = cos[..., None, :]
+    sin = sin[..., None, :]
+    q2 = q * cos + _rotate_half(q) * sin
+    k2 = k * cos + _rotate_half(k) * sin
+    return q2.astype(q.dtype), k2.astype(k.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Dense layers (params are dicts so trees stay uniform)
+# ---------------------------------------------------------------------------
+
+def dense(x: jax.Array, p: dict) -> jax.Array:
+    """y = x @ kernel (+ bias). kernel: [in, out]."""
+    y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype))
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def init_dense(rng, d_in: int, d_out: int, use_bias: bool = True,
+               dtype=jnp.float32, scale: Optional[float] = None) -> dict:
+    if scale is None:
+        scale = 1.0 / math.sqrt(d_in)
+    k = jax.random.uniform(rng, (d_in, d_out), dtype, -scale, scale)
+    p = {"kernel": k}
+    if use_bias:
+        p["bias"] = jnp.zeros((d_out,), dtype)
+    return p

@@ -1,0 +1,109 @@
+"""Parameter and activation sharding rules (GSPMD partition specs).
+
+The reference has no TP/SP and relies on DeepSpeed ZeRO for memory scaling
+(SURVEY.md §2.3). Here sharding is first-class: one rule table maps param-tree
+paths to PartitionSpecs; XLA GSPMD inserts the all-gathers/reduce-scatters
+(the ZeRO equivalent) and the TP collectives from these annotations.
+
+Conventions (stacked-layer trees, kernels [in, out]):
+  * attention qkv kernels  [L, D, H*hd] -> (None, fsdp, tensor)   (column TP)
+  * attention out kernel   [L, H*hd, D] -> (None, tensor, fsdp)   (row TP)
+  * mlp gate/up            [L, D, F]    -> (None, fsdp, tensor)
+  * mlp down               [L, F, D]    -> (None, tensor, fsdp)
+  * MoE expert weights     [L, E, D, F] -> (None, expert, fsdp, tensor)
+  * embeddings             [V, D]       -> (tensor, fsdp)
+  * norms / biases / small convs        -> replicated
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (path regex, spec). Paths are "/"-joined tree keys, e.g.
+# "llm/layers/q/kernel". First match wins.
+PARAM_RULES: Tuple[Tuple[str, P], ...] = (
+    # LLM
+    (r"llm/embed/weight$", P("tensor", "fsdp")),
+    (r"llm/lm_head/kernel$", P("fsdp", "tensor")),
+    (r"llm/layers/(q|k|v)/kernel$", P(None, "fsdp", "tensor")),
+    (r"llm/layers/(q|k|v)/bias$", P(None, "tensor")),
+    (r"llm/layers/o/kernel$", P(None, "tensor", "fsdp")),
+    (r"llm/layers/router/kernel$", P(None, "fsdp", None)),
+    (r"llm/layers/(gate|up)/kernel$", P(None, "expert", "fsdp", "tensor")),
+    (r"llm/layers/down/kernel$", P(None, "expert", "tensor", "fsdp")),
+    (r"llm/layers/.*norm/scale$", P(None, None)),
+    (r"llm/final_norm/scale$", P(None)),
+    # Vision tower (frozen; shard the big matmuls)
+    (r"vision/layers/(q|k|v|fc1)/kernel$", P(None, "fsdp", "tensor")),
+    (r"vision/layers/(o|fc2)/kernel$", P(None, "tensor", "fsdp")),
+    (r"vision/layers/fc1/bias$", P(None, "tensor")),
+    (r"vision/pos_embed/weight$", P(None, None)),
+    # Connector: 1x1 conv kernels are [1,1,Cin,Cout] matmuls
+    (r"connector/s\d/b\d/conv[13]/conv/kernel$", P(None, None, "fsdp",
+                                                   "tensor")),
+    (r"connector/sampler/kernel$", P(None, None, None, "fsdp", "tensor")),
+    (r"connector/readout/fc\d/kernel$", P("fsdp", "tensor")),
+)
+
+# dense-layer [L, D, F] rules when the model is dense (no expert dim)
+DENSE_FFN_RULES: Tuple[Tuple[str, P], ...] = (
+    (r"llm/layers/(gate|up)/kernel$", P(None, "fsdp", "tensor")),
+    (r"llm/layers/down/kernel$", P(None, "tensor", "fsdp")),
+)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def spec_for(path: str, ndim: int, is_moe: bool) -> P:
+    rules = PARAM_RULES if is_moe else (DENSE_FFN_RULES + PARAM_RULES)
+    for pattern, spec in rules:
+        if re.search(pattern, path):
+            if len(spec) > ndim:
+                # rule written for the wider (MoE) layout; drop axes
+                spec = P(*spec[len(spec) - ndim:])
+            return spec
+    return P()  # replicate
+
+
+def param_specs(params: Any, is_moe: bool = False):
+    """Pytree of PartitionSpecs matching `params`."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: spec_for(_path_str(path), leaf.ndim, is_moe),
+        params)
+
+
+def param_shardings(mesh: Mesh, params: Any, is_moe: bool = False):
+    return jax.tree.map(lambda s: NamedSharding(mesh, s),
+                        param_specs(params, is_moe))
+
+
+def shard_params(mesh: Mesh, params: Any, is_moe: bool = False):
+    """Place a host param tree onto the mesh per the rule table."""
+    shardings = param_shardings(mesh, params, is_moe)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s), params, shardings)
+
+
+# Activation specs
+BATCH_SPEC = P(("data", "fsdp"))              # batch dim sharded over dp+fsdp
+SEQ_ACT_SPEC = P(("data", "fsdp"), None, None)  # [B, S, D]
+
+
+def constrain_batch(x: jax.Array) -> jax.Array:
+    """Annotate [B, ...] activations as batch-sharded (inside jit)."""
+    spec = P(("data", "fsdp"), *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, spec)

@@ -1,0 +1,52 @@
+"""Interactive CLI chat (working replacement for the reference's stale
+serve/cli.py, whose imports no longer exist — SURVEY.md §2.1).
+
+Loads a checkpoint, optionally attaches an image/video, and streams replies.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-path", required=True)
+    ap.add_argument("--image-file", default=None)
+    ap.add_argument("--video-file", default=None)
+    ap.add_argument("--temperature", type=float, default=0.2)
+    ap.add_argument("--do-sample", action="store_true")
+    ap.add_argument("--max-new-tokens", type=int, default=512)
+    args = ap.parse_args()
+
+    from .. import mm_infer, model_init
+
+    model, processor, tokenizer = model_init(args.model_path)
+
+    tensor, modal = None, "text"
+    if args.video_file:
+        tensor, modal = processor["video"](args.video_file), "video"
+    elif args.image_file:
+        tensor, modal = processor["image"](args.image_file), "image"
+
+    history = []
+    print("Type your message ('exit' to quit).")
+    while True:
+        try:
+            text = input("USER: ")
+        except EOFError:
+            break
+        if text.strip().lower() in ("exit", "quit"):
+            break
+        history.append({"role": "user", "content": text})
+        reply = mm_infer(tensor, history if len(history) > 1 else text,
+                         model, tokenizer, modal=modal,
+                         do_sample=args.do_sample,
+                         temperature=args.temperature,
+                         max_new_tokens=args.max_new_tokens)
+        history.append({"role": "assistant", "content": reply})
+        print(f"ASSISTANT: {reply}")
+
+
+if __name__ == "__main__":
+    main()

