@@ -43,13 +43,14 @@ def _analytic_a100_videos_per_sec() -> float:
     return 2.2
 
 
-def main():
+def _run(quantize_llm: bool):
     import jax
     import jax.numpy as jnp
 
     from videollama2_tpu.core import config as cfglib
     from videollama2_tpu.inference.engine import Engine, GenerationConfig
     from videollama2_tpu.models import videollama2 as vl2
+    from videollama2_tpu.ops import quant
     from videollama2_tpu.constants import VIDEO_TOKEN_INDEX
 
     dev = jax.devices()[0]
@@ -60,10 +61,36 @@ def main():
         # CPU smoke fallback so the script always emits a line
         cfg = cfglib.tiny_model()
 
-    t0 = time.time()
-    params = vl2.init_params(jax.random.PRNGKey(0), cfg,
-                             dtype=jnp.bfloat16 if on_tpu else jnp.float32)
-    init_s = time.time() - t0
+    # Build timing-equivalent weights on the host CPU backend: values don't
+    # affect MXU/HBM timing, so use cheap constant fills instead of minutes
+    # of single-core RNG over 7B elements; int8 packs are built directly
+    # (never materializing bf16+int8 together in the 16 GB HBM).
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        abstract = jax.eval_shape(
+            lambda: vl2.init_params(jax.random.PRNGKey(0), cfg,
+                                    dtype=jnp.bfloat16 if on_tpu
+                                    else jnp.float32))
+        params = jax.tree.map(
+            lambda a: jnp.full(a.shape, 0.01, a.dtype), abstract)
+        wcfg = "bf16"
+        if quantize_llm and on_tpu:
+            # weight-only int8 LLM: halves HBM footprint and roughly doubles
+            # the bandwidth-bound decode (dequant fused in-graph, ops/quant)
+            def q8_like(entry):
+                w = entry["kernel"]
+                return {"kernel_q8": {
+                    "q": jnp.ones(w.shape, jnp.int8),
+                    "scale": jnp.full(w.shape[:-2] + (1, w.shape[-1]),
+                                      1e-4, jnp.float32)}}
+            layers = dict(params["llm"]["layers"])
+            for name in ("q", "k", "v", "o", "gate", "up", "down"):
+                entry = dict(layers[name])
+                entry.update(q8_like(entry))
+                del entry["kernel"]
+                layers[name] = entry
+            params["llm"] = {**params["llm"], "layers": layers}
+            wcfg = "int8-weights"
 
     H = cfg.vision.image_size
     T = cfg.num_frames
@@ -74,7 +101,7 @@ def main():
 
     eng = Engine(cfg, params,
                  dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-                 max_len=4096 if on_tpu else 128,
+                 max_len=2048 if on_tpu else 128,
                  buckets=(2048,) if on_tpu else (64,),
                  decode_chunk=DECODE_TOKENS)
     gen = GenerationConfig(max_new_tokens=DECODE_TOKENS)
@@ -91,15 +118,23 @@ def main():
     videos_per_sec = BATCH / dt
 
     baseline = _analytic_a100_videos_per_sec()
-    result = {
+    return {
         "metric": (f"videos/sec e2e ({T}-frame encode + prefill + "
                    f"{DECODE_TOKENS}-tok greedy decode, "
-                   f"{'CLIP-L/336+STC+Mistral-7B bf16' if on_tpu else 'tiny-cpu-smoke'}, "
+                   f"{'CLIP-L/336+STC+Mistral-7B ' + wcfg if on_tpu else 'tiny-cpu-smoke'}, "
                    f"batch {BATCH}, 1 chip)"),
         "value": round(videos_per_sec, 4),
         "unit": "videos/sec",
         "vs_baseline": round(videos_per_sec / baseline, 4),
     }
+
+
+def main():
+    try:
+        result = _run(quantize_llm=True)
+    except Exception as e:  # noqa: BLE001 - emit a line no matter what
+        result = {"metric": f"bench failed: {type(e).__name__}: {e}"[:400],
+                  "value": 0.0, "unit": "videos/sec", "vs_baseline": 0.0}
     print(json.dumps(result))
 
 

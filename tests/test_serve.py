@@ -1,0 +1,110 @@
+"""Serving-plane tests: controller registry/dispatch + worker streaming.
+
+Replaces the reference's manual smoke client (serve/test_message.py) with
+automated loopback coverage: a controller and a worker (tiny checkpoint) on
+localhost, a streamed generation through the controller proxy, heartbeat
+bookkeeping, and dispatch policies.
+"""
+
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import pytest
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+
+
+def _post(url, payload, timeout=30):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+@pytest.fixture(scope="module")
+def serve_stack(tmp_path_factory):
+    from make_tiny_checkpoint import build_checkpoint
+    from videollama2_tpu.serve import controller as ctrl_mod
+    from videollama2_tpu.serve import model_worker as worker_mod
+
+    ckpt = build_checkpoint(str(tmp_path_factory.mktemp("ckpt")))
+
+    controller = ctrl_mod.Controller("shortest_queue")
+    ctrl_srv = ThreadingHTTPServer(("localhost", 0),
+                                   ctrl_mod.make_handler(controller))
+    ctrl_port = ctrl_srv.server_address[1]
+    threading.Thread(target=ctrl_srv.serve_forever, daemon=True).start()
+
+    # build the worker with a tiny engine config (fast compile)
+    worker = worker_mod.ModelWorker.__new__(worker_mod.ModelWorker)
+    from videollama2_tpu.inference import api as api_lib
+    import jax.numpy as jnp
+    worker.controller_addr = f"http://localhost:{ctrl_port}"
+    worker.model_name = "tiny"
+    worker.model, worker.processor, worker.tokenizer = api_lib.model_init(
+        ckpt, dtype=jnp.float32, max_len=128, buckets=(64,),
+        attn_impl="xla")
+    worker.semaphore = threading.Semaphore(2)
+    worker.limit_concurrency = 2
+    worker._queue = 0
+    worker._qlock = threading.Lock()
+
+    wrk_srv = ThreadingHTTPServer(("localhost", 0),
+                                  worker_mod.make_handler(worker))
+    wrk_port = wrk_srv.server_address[1]
+    worker.worker_addr = f"http://localhost:{wrk_port}"
+    threading.Thread(target=wrk_srv.serve_forever, daemon=True).start()
+    worker.register_to_controller()
+
+    yield controller, worker, ctrl_port, wrk_port
+    ctrl_srv.shutdown()
+    wrk_srv.shutdown()
+
+
+def test_register_and_list(serve_stack):
+    controller, worker, ctrl_port, _ = serve_stack
+    with _post(f"http://localhost:{ctrl_port}/list_models", {}) as r:
+        models = json.loads(r.read())["models"]
+    assert "tiny" in models
+
+
+def test_dispatch_and_stream(serve_stack):
+    _, _, ctrl_port, _ = serve_stack
+    with _post(f"http://localhost:{ctrl_port}/get_worker_address",
+               {"model": "tiny"}) as r:
+        addr = json.loads(r.read())["address"]
+    assert addr.startswith("http://localhost:")
+
+    # stream a text-only generation through the controller proxy
+    with _post(f"http://localhost:{ctrl_port}/worker_generate_stream",
+               {"model": "tiny", "prompt": "what is the cat doing ?",
+                "temperature": 0.0, "max_new_tokens": 6},
+               timeout=600) as r:
+        raw = r.read()
+    chunks = [json.loads(c) for c in raw.split(b"\0") if c]
+    assert chunks, "no stream chunks"
+    assert chunks[-1]["error_code"] == 0
+    assert isinstance(chunks[-1]["text"], str)
+
+
+def test_heartbeat_updates_queue(serve_stack):
+    controller, worker, _, _ = serve_stack
+    assert controller.receive_heart_beat(worker.worker_addr, 3)
+    assert controller.worker_info[worker.worker_addr].queue_length == 3
+    assert not controller.receive_heart_beat("http://nonexistent:1", 0)
+
+
+def test_worker_status_endpoints(serve_stack):
+    _, worker, _, wrk_port = serve_stack
+    with _post(f"http://localhost:{wrk_port}/worker_get_status", {}) as r:
+        status = json.loads(r.read())
+    assert status["model_names"] == ["tiny"]
+    with _post(f"http://localhost:{wrk_port}/count_token",
+               {"prompt": "the cat"}) as r:
+        assert json.loads(r.read())["count"] >= 1

@@ -277,6 +277,90 @@ def connector_params_from_state_dict(sd: Mapping, cfg: ConnectorConfig,
 
 
 # ---------------------------------------------------------------------------
+# Audio tower (BEATs, VideoLLaMA2.1-AV)
+# ---------------------------------------------------------------------------
+
+def audio_params_from_state_dict(sd: Mapping, cfg, prefix: str) -> dict:
+    """Convert a torch BEATs state_dict (microsoft/unilm layout).
+
+    Key map (BEATs.py): patch_embedding (Conv2d no-bias), layer_norm,
+    post_extract_proj, encoder.pos_conv.0 (weight-normed Conv1d:
+    weight_g/weight_v), encoder.layers.{l}.self_attn.{q,k,v,out}_proj
+    (k_proj bias-free), grep_linear (+ gru_rel_pos_const),
+    relative_attention_bias (layer 0 only), self_attn_layer_norm /
+    final_layer_norm, fc1/fc2.
+    """
+    L = cfg.num_layers
+
+    def lk(l, s):
+        return f"{prefix}encoder.layers.{l}.{s}"
+
+    # weight-normed positional conv (fairseq: weight_norm(conv, dim=2) ->
+    # weight_g [1, 1, K], norm over the size-1 axes of g); handle any dim
+    # convention by reducing over whichever axes g broadcasts
+    wg = _a(sd, f"{prefix}encoder.pos_conv.0.weight_g")
+    wv = _a(sd, f"{prefix}encoder.pos_conv.0.weight_v")   # [D, D/g, K]
+    axes = tuple(i for i, s in enumerate(wg.shape) if s == 1)
+    norm = np.sqrt((wv ** 2).sum(axis=axes, keepdims=True))
+    w = wg * wv / np.maximum(norm, 1e-8)
+    pos_kernel = np.transpose(w, (2, 1, 0))               # [K, D/g, D]
+
+    layers = {
+        "q": {"kernel": _stack(_t(sd, lk(l, "self_attn.q_proj.weight"))
+                               for l in range(L)),
+              "bias": _stack(_a(sd, lk(l, "self_attn.q_proj.bias"))
+                             for l in range(L))},
+        "k": {"kernel": _stack(_t(sd, lk(l, "self_attn.k_proj.weight"))
+                               for l in range(L))},
+        "v": {"kernel": _stack(_t(sd, lk(l, "self_attn.v_proj.weight"))
+                               for l in range(L)),
+              "bias": _stack(_a(sd, lk(l, "self_attn.v_proj.bias"))
+                             for l in range(L))},
+        "o": {"kernel": _stack(_t(sd, lk(l, "self_attn.out_proj.weight"))
+                               for l in range(L)),
+              "bias": _stack(_a(sd, lk(l, "self_attn.out_proj.bias"))
+                             for l in range(L))},
+        "grep": {"kernel": _stack(
+            _t(sd, lk(l, "self_attn.grep_linear.weight"))
+            for l in range(L)),
+                 "bias": _stack(_a(sd, lk(l, "self_attn.grep_linear.bias"))
+                                for l in range(L))},
+        "grep_a": _stack(_a(sd, lk(l, "self_attn.gru_rel_pos_const"))[0]
+                         for l in range(L)),
+        "ln1": {"scale": _stack(_a(sd, lk(l, "self_attn_layer_norm.weight"))
+                                for l in range(L)),
+                "bias": _stack(_a(sd, lk(l, "self_attn_layer_norm.bias"))
+                               for l in range(L))},
+        "ln2": {"scale": _stack(_a(sd, lk(l, "final_layer_norm.weight"))
+                                for l in range(L)),
+                "bias": _stack(_a(sd, lk(l, "final_layer_norm.bias"))
+                               for l in range(L))},
+        "fc1": {"kernel": _stack(_t(sd, lk(l, "fc1.weight"))
+                                 for l in range(L)),
+                "bias": _stack(_a(sd, lk(l, "fc1.bias")) for l in range(L))},
+        "fc2": {"kernel": _stack(_t(sd, lk(l, "fc2.weight"))
+                                 for l in range(L)),
+                "bias": _stack(_a(sd, lk(l, "fc2.bias")) for l in range(L))},
+    }
+    pw = _a(sd, f"{prefix}patch_embedding.weight")        # [E, 1, 16, 16]
+    return {
+        "patch_embed": {"kernel": np.transpose(pw, (2, 3, 1, 0))},
+        "pre_ln": {"scale": _a(sd, f"{prefix}layer_norm.weight"),
+                   "bias": _a(sd, f"{prefix}layer_norm.bias")},
+        "post_extract_proj": {
+            "kernel": _t(sd, f"{prefix}post_extract_proj.weight"),
+            "bias": _a(sd, f"{prefix}post_extract_proj.bias")},
+        "pos_conv": {"kernel": pos_kernel,
+                     "bias": _a(sd, f"{prefix}encoder.pos_conv.0.bias")},
+        # nn.Embedding(num_buckets, num_heads): [320, H], no transpose
+        "rel_embed": _a(
+            sd, f"{prefix}encoder.layers.0.self_attn."
+                "relative_attention_bias.weight"),
+        "layers": layers,
+    }
+
+
+# ---------------------------------------------------------------------------
 # Whole-model assembly from a checkpoint directory
 # ---------------------------------------------------------------------------
 
@@ -382,16 +466,103 @@ def videollama2_params_from_state_dict(sd: Mapping, cfg: ModelConfig) -> dict:
     }
 
 
-def load_videollama2(path: str):
-    """Load a released VideoLLaMA2 checkpoint directory.
+def load_videollama2(path: str, model_base: str = None,
+                     vision_tower_path: str = None):
+    """Load a VideoLLaMA2 checkpoint directory — all four reference paths
+    (model/__init__.py:48-193):
 
-    Returns (ModelConfig, params dict). Mirrors load_pretrained_model's full-
-    checkpoint path (model/__init__.py:165-176); the projector-only and LoRA
-    paths are in `load_pretrain_adapter` / `train/lora.py`.
+      (a) LoRA dir (adapter_model.* + non_lora_trainables.bin) + model_base:
+          base LLM weights, projector from non-LoRA trainables, LoRA deltas
+          merged into the base kernels;
+      (b) pretrain dir (mm_projector.bin) + model_base: base LLM + converted
+          projector, vision tower from `vision_tower_path` or random;
+      (c) full SFT checkpoint: everything from the one directory;
+      (d) plain LLM checkpoint: falls back to (c) shapes minus mm modules.
+
+    Returns (ModelConfig, params dict).
     """
     with open(os.path.join(path, "config.json")) as f:
         cfg_json = json.load(f)
     cfg = model_config_from_hf(cfg_json)
+    files = set(os.listdir(path))
+    is_lora = any(f.startswith("adapter_model") for f in files)
+    is_pretrain = "mm_projector.bin" in files and not any(
+        f.endswith(".safetensors") or f.startswith("pytorch_model")
+        for f in files)
+
+    def _vision_params():
+        if vision_tower_path:
+            vsd = load_state_dict_from_dir(vision_tower_path)
+            return vision_params_from_state_dict(vsd, cfg.vision,
+                                                 prefix="vision_model.")
+        import warnings
+        import jax
+        from ..models import vit as vit_lib
+        warnings.warn("vision tower weights unavailable offline; "
+                      "randomly initialized — pass vision_tower_path")
+        return vit_lib.init_params(jax.random.PRNGKey(0), cfg.vision)
+
+    if is_lora:
+        # (a) model/__init__.py:88-137
+        assert model_base, "LoRA checkpoints need model_base"
+        base_sd = load_state_dict_from_dir(model_base)
+        llm = llm_params_from_state_dict(base_sd, cfg.llm, prefix="model.")
+        import torch
+        non_lora_path = os.path.join(path, "non_lora_trainables.bin")
+        if os.path.exists(non_lora_path):
+            nl = torch.load(non_lora_path, map_location="cpu",
+                            weights_only=True)
+            nl = {(k[len("base_model.model."):] if
+                   k.startswith("base_model.model.") else k): v
+                  for k, v in nl.items()}
+            connector = connector_params_from_state_dict(
+                nl, cfg.connector, prefix="model.mm_projector.")
+        else:
+            from ..models import connector as conn_lib
+            import jax
+            connector = conn_lib.init_params(jax.random.PRNGKey(0),
+                                             cfg.connector)
+        # merge LoRA deltas
+        adapter_file = next(f for f in files if f.startswith("adapter_model"))
+        if adapter_file.endswith(".safetensors"):
+            from safetensors import safe_open
+            asd = {}
+            with safe_open(os.path.join(path, adapter_file),
+                           framework="np") as f:
+                for k in f.keys():
+                    asd[k] = f.get_tensor(k)
+        else:
+            asd = torch.load(os.path.join(path, adapter_file),
+                             map_location="cpu", weights_only=True)
+            asd = {k: _np(v) for k, v in asd.items()}
+        from ..train import lora as lora_lib
+        acfg_path = os.path.join(path, "adapter_config.json")
+        r, alpha = 128, 256
+        if os.path.exists(acfg_path):
+            with open(acfg_path) as f:
+                ac = json.load(f)
+            r, alpha = ac.get("r", r), ac.get("lora_alpha", alpha)
+        lcfg = lora_lib.LoraConfig(r=r, alpha=alpha)
+        adapters = lora_lib.lora_params_from_peft_state_dict(asd, cfg.llm,
+                                                             lcfg)
+        llm = lora_lib.apply_lora(llm, adapters, lcfg)
+        params = {"llm": llm, "vision": _vision_params(),
+                  "connector": connector}
+        return cfg, params
+
+    if is_pretrain:
+        # (b) model/__init__.py:138-164
+        assert model_base, "pretrain-stage checkpoints need model_base"
+        base_sd = load_state_dict_from_dir(model_base)
+        params = {
+            "llm": llm_params_from_state_dict(base_sd, cfg.llm,
+                                              prefix="model."),
+            "vision": _vision_params(),
+            "connector": load_pretrain_adapter(path, cfg.connector),
+        }
+        return cfg, params
+
+    # (c)/(d) full checkpoint
     sd = load_state_dict_from_dir(path)
     params = videollama2_params_from_state_dict(sd, cfg)
     return cfg, params

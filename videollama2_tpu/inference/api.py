@@ -46,10 +46,12 @@ class VideoLLaMA2:
 
 
 def model_init(model_path: Optional[str] = None, dtype=None,
-               max_len: int = 4096, **kwargs):
+               max_len: int = 4096, model_base: Optional[str] = None,
+               vision_tower_path: Optional[str] = None, **kwargs):
     """Load a checkpoint directory; returns (model, processor, tokenizer).
 
-    Parity: videollama2/__init__.py:14-29.
+    Parity: videollama2/__init__.py:14-29 + load_pretrained_model's LoRA /
+    pretrain-adapter / full paths (model/__init__.py:48-193) via model_base.
     """
     import jax.numpy as jnp
     if dtype is None:
@@ -57,7 +59,9 @@ def model_init(model_path: Optional[str] = None, dtype=None,
     if model_path is None:
         raise ValueError("model_path is required (no network access)")
 
-    cfg, params = convert_hf.load_videollama2(model_path)
+    cfg, params = convert_hf.load_videollama2(
+        model_path, model_base=model_base,
+        vision_tower_path=vision_tower_path)
     engine = Engine(cfg, params, dtype=dtype, max_len=max_len, **kwargs)
     model = VideoLLaMA2(config=cfg, engine=engine)
 
@@ -73,6 +77,8 @@ def model_init(model_path: Optional[str] = None, dtype=None,
         "video": functools.partial(process_video, cfg=cfg.vision,
                                    aspect_ratio=None, num_frames=num_frames),
     }
+    if cfg.audio is not None:
+        processor["audio"] = functools.partial(_prep_audio, cfg=cfg)
     return model, processor, tokenizer
 
 
@@ -148,6 +154,8 @@ def _prep_audio(audio_input, cfg) -> "np.ndarray":
         feats = audio_lib.beats_preprocess(wav)
     else:
         arr = np.asarray(audio_input, dtype=np.float32)
+        if arr.ndim == 3:  # already [1, T, 128] from the processor
+            arr = arr[0]
         feats = (audio_lib.beats_preprocess(arr) if arr.ndim == 1 else arr)
     T = cfg.audio.max_frames
     if feats.shape[0] < T:

@@ -60,7 +60,11 @@ class Engine:
         self.buckets = tuple(b for b in buckets if b <= max_len)
         self.attn_impl = attn_impl
         self.decode_chunk = decode_chunk
-        self.params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+        def _cast(a):
+            a = jnp.asarray(a)
+            return a.astype(dtype) if jnp.issubdtype(a.dtype,
+                                                     jnp.floating) else a
+        self.params = jax.tree.map(_cast, params)
         if shard_fn is not None:
             self.params = shard_fn(self.params)
         self._prefill_cache = {}

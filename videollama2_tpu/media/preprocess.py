@@ -82,6 +82,29 @@ def preprocess_frames(frames: Sequence[Image.Image], cfg: VisionConfig,
     return np.stack(out, axis=0)
 
 
+def create_photo_grid(arr: np.ndarray, rows: Optional[int] = None,
+                      cols: Optional[int] = None) -> np.ndarray:
+    """Arrange t frames into a (rows x cols) photo grid.
+
+    Parity: mm_utils.py:41-88 (used by the legacy grid sampling scheme);
+    pads with black frames to fill the grid.
+    """
+    t, h, w, c = arr.shape
+    if rows is None and cols is None:
+        rows = cols = int(np.ceil(np.sqrt(t)))
+    elif rows is None:
+        rows = int(np.ceil(t / cols))
+    elif cols is None:
+        cols = int(np.ceil(t / rows))
+    num_pad = rows * cols - t
+    if num_pad > 0:
+        pad = np.zeros((num_pad, h, w, c), dtype=arr.dtype)
+        arr = np.concatenate([arr, pad], axis=0)
+    return (arr.reshape(rows, cols, h, w, c)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(rows * h, cols * w, c))
+
+
 def process_image(image_path, cfg: VisionConfig,
                   aspect_ratio: Optional[str] = "pad") -> np.ndarray:
     """Parity: mm_utils.py:91-103. Returns [1, H, W, 3]."""

@@ -74,7 +74,9 @@ def init_params(rng: jax.Array, cfg: AudioConfig,
     std = 0.02
 
     def normal(key, shape):
-        return (jax.random.normal(key, shape, jnp.float32) * std).astype(dtype)
+        # generate directly in the target dtype: fp32 transients of the
+        # stacked 7B tensors would exceed HBM during init
+        return jax.random.normal(key, shape, dtype) * jnp.asarray(std, dtype)
 
     def ln(shape):
         return {"scale": jnp.ones(shape, dtype),
@@ -88,10 +90,10 @@ def init_params(rng: jax.Array, cfg: AudioConfig,
               "bias": jnp.zeros((L, D), dtype)},
         "o": {"kernel": normal(ks[3], (L, D, D)),
               "bias": jnp.zeros((L, D), dtype)},
-        "grep": {"kernel": normal(ks[4], (L, cfg.num_heads,
-                                          D // cfg.num_heads, 8)),
-                 "bias": jnp.zeros((L, cfg.num_heads, 8), dtype)},
-        "grep_a": normal(ks[5], (L, cfg.num_heads, 1, 1)),
+        # grep_linear is SHARED across heads (WavLM: nn.Linear(head_dim, 8))
+        "grep": {"kernel": normal(ks[4], (L, D // cfg.num_heads, 8)),
+                 "bias": jnp.zeros((L, 8), dtype)},
+        "grep_a": jnp.ones((L, cfg.num_heads, 1, 1), dtype),
         "ln1": ln((L, D)), "ln2": ln((L, D)),
         "fc1": {"kernel": normal(ks[6], (L, D, F)),
                 "bias": jnp.zeros((L, F), dtype)},
@@ -131,8 +133,8 @@ def _attention(cfg: AudioConfig, x, lp, pos_bias):
     v = dense(x, lp["v"]).reshape(B, S, H, hd)
 
     # gated bias: gate from the query (grep linear -> [.., 2, 4] sum -> gates)
-    g = jnp.einsum("bshd,hde->bshe", q, lp["grep"]["kernel"].astype(x.dtype))
-    g = g + lp["grep"]["bias"].astype(x.dtype)[None, None]
+    g = jnp.einsum("bshd,de->bshe", q, lp["grep"]["kernel"].astype(x.dtype))
+    g = g + lp["grep"]["bias"].astype(x.dtype)[None, None, None]
     g = g.reshape(B, S, H, 2, 4).sum(-1)
     gates = jax.nn.sigmoid(g)                       # [B, S, H, 2]
     gate_a, gate_b = gates[..., 0], gates[..., 1]

@@ -32,7 +32,9 @@ def init_params(rng: jax.Array, cfg: VisionConfig, dtype=jnp.float32) -> dict:
     std = 0.02
 
     def normal(key, shape):
-        return (jax.random.normal(key, shape, jnp.float32) * std).astype(dtype)
+        # generate directly in the target dtype: fp32 transients of the
+        # stacked 7B tensors would exceed HBM during init
+        return jax.random.normal(key, shape, dtype) * jnp.asarray(std, dtype)
 
     def ln(shape=(L, D)):
         return {"scale": jnp.ones(shape, dtype), "bias": jnp.zeros(shape, dtype)}

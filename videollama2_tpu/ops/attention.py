@@ -34,20 +34,30 @@ def mha_xla(q: jax.Array, k: jax.Array, v: jax.Array,
 
     q: [B, Sq, Hq, D]; k/v: [B, Sk, Hkv, D]; mask broadcastable to
     [B, Hq, Sq, Sk] (True = attend). fp32 softmax accumulation.
+
+    GQA is computed with the query-group dimension folded into the einsum
+    (no `repeat_kv` materialization — on the bandwidth-bound decode step the
+    KV cache is read once, not `group` times).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    n_rep = q.shape[2] // k.shape[2]
-    k = _repeat_kv(k, n_rep)
-    v = _repeat_kv(v, n_rep)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+    B, Sq, Hq, D = q.shape
+    Hkv = k.shape[2]
+    rep = Hq // Hkv
+    qg = q.reshape(B, Sq, Hkv, rep, D)
+    logits = jnp.einsum("bqhrd,bkhd->bhrqk", qg, k,
                         preferred_element_type=jnp.float32) * scale
     if mask is not None:
-        logits = jnp.where(mask, logits, _NEG_INF)
+        # mask comes in as [B, {1|Hq}, Sq, Sk]
+        if mask.shape[1] == 1:
+            m = mask[:, :, None]
+        else:
+            m = mask.reshape(B, Hkv, rep, Sq, -1)
+        logits = jnp.where(m, logits, _NEG_INF)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+    out = jnp.einsum("bhrqk,bkhd->bqhrd", probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
-    return out.astype(q.dtype)
+    return out.reshape(B, Sq, Hq, D).astype(q.dtype)
 
 
 def make_prefill_mask(valid_len: jax.Array, seq_len: int,

@@ -38,7 +38,7 @@ def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
     del kv_repeat
     qi = pl.program_id(2)
     q = q_ref[0, 0].astype(jnp.float32) * scale          # [BQ, D]
-    valid = valid_ref[0]
+    valid = valid_ref[pl.program_id(0)]  # scalar-prefetch: full [B] in SMEM
 
     nk = seq_k // block_k
     if causal:
@@ -120,21 +120,23 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         _flash_kernel, scale=scale, causal=causal, block_q=bq, block_k=bk,
         seq_k=Sk, kv_repeat=rep)
 
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # valid_len [B] lands in SMEM pre-kernel
+        grid=(B, Hq, Sq // bq),
+        # index maps receive the scalar-prefetch ref as a trailing arg
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, i, _: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, Sk, D),
+                         lambda b, h, i, _: (b, h // rep, 0, 0)),
+            pl.BlockSpec((1, 1, Sk, D),
+                         lambda b, h, i, _: (b, h // rep, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, D),
+                               lambda b, h, i, _: (b, h, i, 0)),
+    )
     out = pl.pallas_call(
         kernel,
-        grid=(B, Hq, Sq // bq),
-        in_specs=[
-            pl.BlockSpec((1,), lambda b, h, i: (b,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, bq, D), lambda b, h, i: (b, h, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Sk, D), lambda b, h, i: (b, h // rep, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Sk, D), lambda b, h, i: (b, h // rep, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, h, i: (b, h, i, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hq, Sq, D), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=int(4 * B * Hq * Sq * Sk * D * (0.5 if causal else 1.0)),

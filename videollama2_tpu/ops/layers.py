@@ -109,8 +109,20 @@ def apply_rope(q: jax.Array, k: jax.Array, cos: jax.Array,
 # ---------------------------------------------------------------------------
 
 def dense(x: jax.Array, p: dict) -> jax.Array:
-    """y = x @ kernel (+ bias). kernel: [in, out]."""
-    y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype))
+    """y = x @ kernel (+ bias). kernel: [in, out].
+
+    Accepts int8 weight-only packs ("kernel_q8": {"q", "scale"}) and
+    dequantizes in-graph — inside a scanned layer body only one layer's bf16
+    weights are ever materialized, so HBM holds the int8 copy (the
+    bitsandbytes-parity serving configuration, ops/quant.py).
+    """
+    if "kernel" in p:
+        kernel = p["kernel"].astype(x.dtype)
+    else:
+        pack = p["kernel_q8"]
+        kernel = (pack["q"].astype(x.dtype)
+                  * pack["scale"].astype(x.dtype))
+    y = jnp.einsum("...i,io->...o", x, kernel)
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"].astype(x.dtype)
     return y

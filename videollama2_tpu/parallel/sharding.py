@@ -92,10 +92,21 @@ def param_shardings(mesh: Mesh, params: Any, is_moe: bool = False):
 
 
 def shard_params(mesh: Mesh, params: Any, is_moe: bool = False):
-    """Place a host param tree onto the mesh per the rule table."""
+    """Place a host param tree onto the mesh per the rule table.
+
+    device_put may ALIAS the device-0 replica with a source jax.Array, so a
+    later donated train step would delete the caller's tree; jax.Array
+    sources are privately copied first (numpy inputs never alias).
+    """
     shardings = param_shardings(mesh, params, is_moe)
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, s), params, shardings)
+
+    def _put(x, s):
+        import jax.numpy as jnp
+        if isinstance(x, jax.Array):
+            x = jnp.array(x, copy=True)
+        return jax.device_put(x, s)
+
+    return jax.tree.map(_put, params, shardings)
 
 
 # Activation specs

@@ -154,7 +154,11 @@ class SupervisedDataset:
     def __getitem__(self, i: int) -> Dict:
         sample = self.list_data_dict[i]
         da = self.data_args
-        num_frames = (NUM_FRAMES if da.num_frames is None else da.num_frames)
+        # data-args override wins; else the model config's num_frames (the
+        # reference stamps data num_frames into the model config,
+        # train.py:508-532, so the two always agree)
+        num_frames = (self.model_cfg.num_frames if da.num_frames is None
+                      else da.num_frames)
         vis_cfg = self.model_cfg.vision
         sources = [copy.deepcopy(sample["conversations"])]
 

@@ -81,6 +81,7 @@ class Trainer:
         ckpt_dir = os.path.join(trainer_cfg.output_dir, "checkpoints")
         step = orbax_io.latest_step(ckpt_dir)
         self.start_step = 0
+        self._last_saved = -1
         if step is not None:
             print(f"Resuming from checkpoint step {step}")
             self.state = orbax_io.restore_train_state(ckpt_dir, self.state,
@@ -136,6 +137,9 @@ class Trainer:
         return self.state
 
     def save(self, step: int):
+        if step == self._last_saved:
+            return
+        self._last_saved = step
         ckpt_dir = os.path.join(self.cfg.output_dir, "checkpoints")
         if self.opt_cfg.tune_mm_mlp_adapter:
             # pretrain stage: projector-only save

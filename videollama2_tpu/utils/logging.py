@@ -47,8 +47,9 @@ def build_logger(logger_name: str, logger_filename: str) -> logging.Logger:
 def pretty_print_semaphore(semaphore) -> str:
     if semaphore is None:
         return "None"
-    return (f"Semaphore(value={semaphore._value}, "
-            f"locked={semaphore.locked()})")
+    # threading.Semaphore has _value but no .locked() (asyncio's does)
+    value = getattr(semaphore, "_value", "?")
+    return f"Semaphore(value={value})"
 
 
 def disable_torch_init():
