@@ -141,7 +141,8 @@ def mm_infer(image_or_video, instruct, model: VideoLLaMA2, tokenizer,
     )
     eos = tokenizer.eos_token_id
     outs = model.engine.generate([input_ids], frames=frames, audio=audio,
-                                 gen=gen, eos_token_id=eos)
+                                 gen=gen, eos_token_id=eos,
+                                 image_mode=(modal == "image"))
     return tokenizer.decode(outs[0], skip_special_tokens=True).strip()
 
 

@@ -60,10 +60,18 @@ class Engine:
         self.buckets = tuple(b for b in buckets if b <= max_len)
         self.attn_impl = attn_impl
         self.decode_chunk = decode_chunk
+        target = jax.devices()[0]
+
         def _cast(a):
             a = jnp.asarray(a)
-            return a.astype(dtype) if jnp.issubdtype(a.dtype,
-                                                     jnp.floating) else a
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                a = a.astype(dtype)
+            if shard_fn is None:
+                # pin to the accelerator NOW: host-committed params would be
+                # re-transferred on every jit call (catastrophic over a
+                # remote-tunnel TPU)
+                a = jax.device_put(a, target)
+            return a
         self.params = jax.tree.map(_cast, params)
         if shard_fn is not None:
             self.params = shard_fn(self.params)
@@ -86,7 +94,8 @@ class Engine:
                     jnp.arange(text_ids.shape[1]), text_ids.shape)
                 last, cache = vl2.prefill_multimodal(
                     params, cfg, frames, text_ids, is_visual, vis_index,
-                    positions, valid_len, cache, attn_impl=attn_impl)
+                    positions, valid_len, cache, attn_impl=attn_impl,
+                    broadcast_image=(mode == "image"))
                 logits = llm_lib.lm_logits(params["llm"], cfg.llm, last)
                 return logits, cache
 
@@ -140,7 +149,8 @@ class Engine:
                 return logits, cache
 
             self._prefill_cache[key] = {
-                "vision": prefill_vision, "audio": prefill_audio,
+                "vision": prefill_vision, "image": prefill_vision,
+                "audio": prefill_audio,
                 "av": prefill_av, "text": prefill_text}[mode]
         return self._prefill_cache[key]
 
@@ -192,6 +202,7 @@ class Engine:
                  eos_token_id: Optional[int] = None,
                  stop_fn: Optional[Callable[[List[int]], bool]] = None,
                  stream_cb: Optional[Callable[[int, List[int]], None]] = None,
+                 image_mode: bool = False,
                  ) -> List[List[int]]:
         """Generate continuations for a batch of tokenized prompts.
 
@@ -208,8 +219,13 @@ class Engine:
         eos = eos_token_id if eos_token_id is not None else cfg.llm.eos_token_id
         B = len(batch_input_ids)
         mode = ("av" if frames is not None and audio is not None else
-                "vision" if frames is not None else
+                ("image" if image_mode else "vision")
+                if frames is not None else
                 "audio" if audio is not None else "text")
+        if mode == "image":
+            # single-frame slot: the tower runs once, features broadcast to
+            # num_frames on device (see encode_frames broadcast_image)
+            frames = np.asarray(frames)[:, :1]
         tokens_per_modal: Any = cfg.tokens_per_video
         if audio is not None:
             tokens_per_modal = {-200: cfg.tokens_per_video,
@@ -229,10 +245,12 @@ class Engine:
         plan_args = (jnp.asarray(plan.text_ids), jnp.asarray(plan.is_visual),
                      jnp.asarray(plan.vis_index),
                      jnp.asarray(plan.valid_len))
-        if mode == "vision":
-            logits, cache = prefill(self.params,
-                                    jnp.asarray(frames, self.dtype),
-                                    *plan_args, cache)
+        if mode in ("vision", "image"):
+            fr = np.asarray(frames)
+            # uint8 frames normalize on device (encode_frames); floats cast
+            fr = (jnp.asarray(fr) if fr.dtype == np.uint8
+                  else jnp.asarray(fr, self.dtype))
+            logits, cache = prefill(self.params, fr, *plan_args, cache)
         elif mode == "audio":
             logits, cache = prefill(self.params,
                                     jnp.asarray(audio, self.dtype),

@@ -40,19 +40,33 @@ def init_params(rng: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> dict:
 
 
 def encode_frames(params: dict, cfg: ModelConfig, frames: jax.Array,
-                  attn_impl: str = "auto") -> jax.Array:
+                  attn_impl: str = "auto",
+                  broadcast_image: bool = False) -> jax.Array:
     """Encode a batch of videos' frames through the frozen tower + connector.
 
     frames: [B, T, H, W, 3] preprocessed pixels (images are expanded to T
     identical frames by the caller, parity videollama2_arch.py:119-120).
+    With broadcast_image=True, frames is [B, 1, H, W, 3]: the tower runs
+    ONCE per image and the features are broadcast to num_frames — identical
+    result to the reference's T redundant tower passes at 1/T the FLOPs.
     Returns [B, tokens_per_video, hidden].
     """
     B, T = frames.shape[0], frames.shape[1]
+    if frames.dtype == jnp.uint8:
+        # on-device normalize: callers ship resized uint8 RGB (4x less
+        # host->HBM traffic than fp32; the north star's fused preprocess)
+        mean = jnp.asarray(cfg.vision.image_mean, jnp.float32)
+        std = jnp.asarray(cfg.vision.image_std, jnp.float32)
+        frames = ((frames.astype(jnp.float32) / 255.0 - mean)
+                  / std).astype(jnp.bfloat16)
     flat = frames.reshape((B * T,) + frames.shape[2:])
     feats = vit_lib.features(params["vision"], cfg.vision, flat,
                              attn_impl=attn_impl)
     feats = jax.lax.stop_gradient(feats)  # tower frozen (train.py:534)
     feats = feats.reshape(B, T, feats.shape[1], feats.shape[2])
+    if broadcast_image:
+        feats = jnp.broadcast_to(
+            feats, (B, cfg.num_frames) + feats.shape[2:])
     return temporal_aggregator(params, cfg, feats)
 
 
@@ -127,10 +141,12 @@ def prefill_multimodal(params: dict, cfg: ModelConfig, frames: jax.Array,
                        text_ids: jax.Array, is_visual: jax.Array,
                        vis_index: jax.Array, positions: jax.Array,
                        valid_len: jax.Array, cache: llm_lib.KVCache,
-                       attn_impl: str = "auto"
+                       attn_impl: str = "auto",
+                       broadcast_image: bool = False
                        ) -> Tuple[jax.Array, llm_lib.KVCache]:
     """Inference prefill with visual splice. Returns (last_hidden, cache)."""
-    vis_tokens = encode_frames(params, cfg, frames, attn_impl=attn_impl)
+    vis_tokens = encode_frames(params, cfg, frames, attn_impl=attn_impl,
+                               broadcast_image=broadcast_image)
     embeds = splice_lib.compose(params["llm"]["embed"]["weight"], vis_tokens,
                                 text_ids, is_visual, vis_index)
     return llm_lib.prefill(params["llm"], cfg.llm, embeds, positions,
