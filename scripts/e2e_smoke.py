@@ -66,6 +66,12 @@ def main():
                                     tokenizer, modal="text",
                                     max_new_tokens=8)
     print("TEXT ANSWER:", repr(out3))
+
+    from videollama2_tpu.inference.api import mm_infer_batch
+    outs = mm_infer_batch(tensor, ["What happens ?", "Describe briefly ."],
+                          model, tokenizer, modal="video", max_new_tokens=8)
+    print("BATCH ANSWERS:", [repr(o) for o in outs])
+    assert len(outs) == 2
     print("E2E OK")
 
 

@@ -1,0 +1,146 @@
+"""Per-component timing on the real chip: ViT encode, connector, prefill,
+decode chunk. Identifies the wall-clock distribution behind bench.py."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def timeit(fn, *args, iters=3, warmup=1):
+    import jax
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.time()
+    for _ in range(iters):
+        out = jax.block_until_ready(fn(*args))
+    return (time.time() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from videollama2_tpu.core import config as cfglib
+    from videollama2_tpu.models import connector as conn_lib
+    from videollama2_tpu.models import llm as llm_lib
+    from videollama2_tpu.models import vit as vit_lib
+    from videollama2_tpu.ops import quant
+
+    cfg = cfglib.preset("videollama2_mistral").replace(num_frames=16)
+    B, T = 8, 16
+    N_FRAMES = B * T
+    rng = np.random.default_rng(0)
+
+    cpu = jax.devices("cpu")[0]
+    dev = jax.devices()[0]
+    print("device:", dev, file=sys.stderr)
+
+    # ---- ViT encode (frozen CLIP-L/336, 23 layers for select -2)
+    with jax.default_device(cpu):
+        vshape = jax.eval_shape(lambda: vit_lib.init_params(
+            jax.random.PRNGKey(0), cfg.vision, jnp.bfloat16))
+        vparams = jax.tree.map(lambda a: jnp.full(a.shape, 0.01, a.dtype),
+                               vshape)
+    vparams = jax.device_put(vparams, dev)
+    frames = jax.device_put(jnp.asarray(
+        rng.integers(0, 255, (N_FRAMES, 336, 336, 3), dtype=np.uint8)
+        .astype(np.float32) / 255.0, jnp.bfloat16), dev)
+
+    vit_fn = jax.jit(lambda p, x: vit_lib.features(p, cfg.vision, x))
+    t_vit = timeit(vit_fn, vparams, frames)
+    del frames
+    flops_vit = N_FRAMES * 23 * (4 * 577 * 1024 * 1024 * 2
+                                 + 2 * 577 * 577 * 1024 * 2
+                                 + 2 * 577 * 1024 * 4096 * 2)
+    print(f"ViT encode {N_FRAMES}f: {t_vit*1e3:.1f} ms "
+          f"({flops_vit/t_vit/1e12:.1f} TF/s)")
+
+    # ---- STC connector
+    with jax.default_device(cpu):
+        cshape = jax.eval_shape(lambda: conn_lib.init_params(
+            jax.random.PRNGKey(0), cfg.connector, jnp.bfloat16))
+        cparams = jax.tree.map(lambda a: jnp.full(a.shape, 0.01, a.dtype),
+                               cshape)
+    cparams = jax.device_put(cparams, dev)
+    feats = jax.device_put(
+        jnp.full((B, T, 576, 1024), 0.1, jnp.bfloat16), dev)
+    conn_fn = jax.jit(lambda p, x: conn_lib.apply(p, cfg.connector, x))
+    t_conn = timeit(conn_fn, cparams, feats)
+    print(f"STC connector: {t_conn*1e3:.1f} ms", flush=True)
+    # free vision/connector state before loading the LLM
+    for t in jax.tree.leaves(vparams) + jax.tree.leaves(cparams) + [feats]:
+        t.delete()
+    del vparams, cparams, feats
+
+    # ---- LLM prefill 2048 (int8 weights), flash vs xla
+    with jax.default_device(cpu):
+        lshape = jax.eval_shape(lambda: llm_lib.init_params(
+            jax.random.PRNGKey(0), cfg.llm, jnp.bfloat16))
+        lparams = jax.tree.map(lambda a: jnp.full(a.shape, 0.01, a.dtype),
+                               lshape)
+        layers = dict(lparams["layers"])
+        for name in ("q", "k", "v", "o", "gate", "up", "down"):
+            e = dict(layers[name])
+            w = e.pop("kernel")
+            e["kernel_q8"] = {"q": jnp.ones(w.shape, jnp.int8),
+                              "scale": jnp.full(w.shape[:-2] +
+                                                (1, w.shape[-1]),
+                                                1e-4, jnp.float32)}
+            layers[name] = e
+        lparams["layers"] = layers
+    lparams = jax.device_put(lparams, dev)
+
+    S = 2048
+    embeds = jax.device_put(jnp.full((B, S, 4096), 0.1, jnp.bfloat16), dev)
+    positions = jnp.broadcast_to(jnp.arange(S), (B, S))
+    valid = jnp.full((B,), S - 100)
+
+    for impl in ("pallas",):  # xla impl materializes 4 GB of probs at B8/S2048
+        fn = jax.jit(lambda p, e: llm_lib.forward(
+            p, cfg.llm, e, positions, valid, attn_impl=impl)[0])
+        t = timeit(fn, lparams, embeds)
+        fl = B * S * 7.1e9 * 2
+        print(f"prefill {S} ({impl}): {t*1e3:.1f} ms ({fl/t/1e12:.1f} TF/s)",
+              flush=True)
+    del embeds
+
+    # ---- decode chunk of 32
+    cache = llm_lib.init_cache(cfg.llm, B, 2048, jnp.bfloat16)
+    cache_len = jnp.full((B,), 1500)
+
+    def chunk(p, tok, cache, cache_len):
+        def step(carry, _):
+            tok, cache, cl = carry
+            te = llm_lib.embed_tokens(p, tok[:, None], dtype=jnp.bfloat16)
+            logits, cache = llm_lib.decode_step(p, cfg.llm, te, cache, cl)
+            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            return (nxt, cache, cl + 1), None
+
+        (tok, cache, cache_len), _ = jax.lax.scan(
+            step, (tok, cache, cache_len), None, length=32)
+        return tok, cache
+
+    fn = jax.jit(chunk, donate_argnums=(2,))
+    tok = jnp.zeros((B,), jnp.int32)
+    # manual warm + time (cache donation needs fresh buffers per call)
+    out = jax.block_until_ready(fn(lparams, tok, cache, cache_len))
+    tok2, cache = out
+    t0 = time.time()
+    out = jax.block_until_ready(fn(lparams, tok, cache, cache_len))
+    t_dec = time.time() - t0
+    per_tok = t_dec / 32
+    bw = 7.1e9 / per_tok  # int8 weights read per token
+    print(f"decode chunk 32 (B={B}): {t_dec*1e3:.1f} ms "
+          f"({per_tok*1e3:.2f} ms/tok, weight-stream {bw/1e9:.0f} GB/s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -99,3 +99,23 @@ def test_engine_batched(tiny):
                            gen=GenerationConfig(max_new_tokens=5),
                            eos_token_id=-1)
     assert batched == singles
+
+
+def test_share_media_matches_replicated(tiny):
+    """share_media=True (encode once, broadcast) == replicated frames."""
+    cfg, params = tiny
+    T = cfg.num_frames
+    H = cfg.vision.image_size
+    rng = np.random.default_rng(3)
+    one = rng.standard_normal((1, T, H, H, 3)).astype(np.float32)
+    rep = np.broadcast_to(one, (2, T, H, H, 3)).copy()
+    from videollama2_tpu.constants import VIDEO_TOKEN_INDEX
+    prompts = [[3, VIDEO_TOKEN_INDEX, 5], [7, VIDEO_TOKEN_INDEX, 8, 9]]
+
+    eng = Engine(cfg, params, dtype=jnp.float32, max_len=128, buckets=(64,),
+                 attn_impl="xla", decode_chunk=4)
+    gen = GenerationConfig(max_new_tokens=5)
+    a = eng.generate(prompts, frames=rep, gen=gen, eos_token_id=-1)
+    b = eng.generate(prompts, frames=one, gen=gen, eos_token_id=-1,
+                     share_media=True)
+    assert a == b

@@ -121,33 +121,40 @@ def main():
             return {"vid": vid, "questions": records}
 
         tensor = processor["video"](video_path)
+        # batch all (sub-mode x question) prompts for this video: the video
+        # encodes once and its tokens broadcast across the batch
+        prompts, metas = [], []
         for with_sub in ([False, True] if args.subtitle_folder else [False]):
+            prompt = NOSUB_PROMPT
+            if with_sub:
+                from ..media.video_reader import VideoReader
+                try:
+                    vr = VideoReader(video_path)
+                    idx = sampler_lib.sample_indices(
+                        len(vr), vr.get_avg_fps(), num_frames)
+                    subs = load_subtitles(
+                        os.path.join(args.subtitle_folder, vid + ".srt"),
+                        idx, vr.get_avg_fps())
+                    vr.close()
+                except Exception:
+                    subs = ""
+                prompt = SUB_PROMPT.format(subtitle=subs)
             for q in qs:
                 options = list(q.get("options", []))
-                prompt = NOSUB_PROMPT
-                if with_sub:
-                    from ..media.video_reader import VideoReader
-                    try:
-                        vr = VideoReader(video_path)
-                        idx = sampler_lib.sample_indices(
-                            len(vr), vr.get_avg_fps(), num_frames)
-                        subs = load_subtitles(
-                            os.path.join(args.subtitle_folder, vid + ".srt"),
-                            idx, vr.get_avg_fps())
-                        vr.close()
-                    except Exception:
-                        subs = ""
-                    prompt = SUB_PROMPT.format(subtitle=subs)
-                question = prompt + q["question"] + "\n" + "\n".join(options)
-                try:
-                    resp = mm_infer(tensor, question, model, tokenizer,
-                                    modal="video", max_new_tokens=128)
-                except Exception:
-                    resp = "C"
-                records.append(dict(
-                    question_id=q.get("question_id"), sub=with_sub,
-                    response=resp,
-                    letter=extract_choice_letter(resp, options)))
+                prompts.append(prompt + q["question"] + "\n"
+                               + "\n".join(options))
+                metas.append((q, with_sub, options))
+        try:
+            from ..inference.api import mm_infer_batch
+            resps = mm_infer_batch(tensor, prompts, model, tokenizer,
+                                   modal="video", max_new_tokens=128)
+        except Exception:
+            resps = ["C"] * len(prompts)
+        for resp, (q, with_sub, options) in zip(resps, metas):
+            records.append(dict(
+                question_id=q.get("question_id"), sub=with_sub,
+                response=resp,
+                letter=extract_choice_letter(resp, options)))
         return {"vid": vid, "questions": records}
 
     items = [{"index": v, "vid": v} for v in video_ids]

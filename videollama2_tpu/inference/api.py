@@ -146,6 +146,59 @@ def mm_infer(image_or_video, instruct, model: VideoLLaMA2, tokenizer,
     return tokenizer.decode(outs[0], skip_special_tokens=True).strip()
 
 
+def mm_infer_batch(image_or_video, instructs, model: VideoLLaMA2, tokenizer,
+                   modal: str = "video", **kwargs) -> list:
+    """Batched variant of mm_infer: one media tensor, many prompts.
+
+    The media is encoded ONCE and its tokens broadcast across the batch
+    (engine share_media) — e.g. Video-MME's ~3 questions per video, or the
+    sub/no-sub passes, decode together at 1x encode cost.
+    """
+    if modal == "image":
+        modal_token = DEFAULT_IMAGE_TOKEN
+    elif modal == "video":
+        modal_token = DEFAULT_VIDEO_TOKEN
+    else:
+        raise ValueError(f"Unsupported modal for batch: {modal}")
+
+    cfg = model.config
+    arr = np.asarray(image_or_video, dtype=np.float32) \
+        if np.asarray(image_or_video).dtype != np.uint8 \
+        else np.asarray(image_or_video)
+    T = cfg.num_frames
+    if modal == "image":
+        arr = np.broadcast_to(arr[:1], (T,) + arr.shape[1:])
+    frames = arr[None]
+
+    batch_ids = []
+    for instruct in instructs:
+        message = [{"role": "user",
+                    "content": modal_token + "\n" + instruct}]
+        if cfg.model_type in ("videollama2", "videollama2_mistral",
+                              "videollama2_mixtral"):
+            message = [{"role": "system",
+                        "content": MISTRAL_SYSTEM}] + message
+        prompt = tokenizer.apply_chat_template(message, tokenize=False,
+                                               add_generation_prompt=True)
+        batch_ids.append(
+            tokenizer_multimodal_token(prompt, tokenizer, modal_token))
+
+    gen = GenerationConfig(
+        do_sample=kwargs.get("do_sample", False),
+        temperature=kwargs.get("temperature",
+                               0.2 if kwargs.get("do_sample", False)
+                               else 0.0),
+        top_p=kwargs.get("top_p", 0.9),
+        max_new_tokens=kwargs.get("max_new_tokens", 2048),
+        seed=kwargs.get("seed", 0))
+    outs = model.engine.generate(batch_ids, frames=frames, gen=gen,
+                                 eos_token_id=tokenizer.eos_token_id,
+                                 share_media=True,
+                                 image_mode=False)
+    return [tokenizer.decode(o, skip_special_tokens=True).strip()
+            for o in outs]
+
+
 def _prep_audio(audio_input, cfg) -> "np.ndarray":
     """Load/normalize audio to [1, audio.max_frames, 128] fbank features."""
     from ..media import audio as audio_lib

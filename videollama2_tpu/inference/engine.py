@@ -92,10 +92,24 @@ class Engine:
                                vis_index, valid_len, cache):
                 positions = jnp.broadcast_to(
                     jnp.arange(text_ids.shape[1]), text_ids.shape)
-                last, cache = vl2.prefill_multimodal(
-                    params, cfg, frames, text_ids, is_visual, vis_index,
-                    positions, valid_len, cache, attn_impl=attn_impl,
-                    broadcast_image=(mode == "image"))
+                if mode == "vision_shared":
+                    # one video, B prompts: encode once, broadcast tokens
+                    vis = vl2.encode_frames(params, cfg, frames,
+                                            attn_impl=attn_impl)
+                    vis = jnp.broadcast_to(
+                        vis, (text_ids.shape[0],) + vis.shape[1:])
+                    from ..multimodal import splice as splice_lib
+                    embeds = splice_lib.compose(
+                        params["llm"]["embed"]["weight"], vis, text_ids,
+                        is_visual, vis_index)
+                    last, cache = llm_lib.prefill(
+                        params["llm"], cfg.llm, embeds, positions,
+                        valid_len, cache, attn_impl=attn_impl)
+                else:
+                    last, cache = vl2.prefill_multimodal(
+                        params, cfg, frames, text_ids, is_visual, vis_index,
+                        positions, valid_len, cache, attn_impl=attn_impl,
+                        broadcast_image=(mode == "image"))
                 logits = llm_lib.lm_logits(params["llm"], cfg.llm, last)
                 return logits, cache
 
@@ -150,7 +164,7 @@ class Engine:
 
             self._prefill_cache[key] = {
                 "vision": prefill_vision, "image": prefill_vision,
-                "audio": prefill_audio,
+                "vision_shared": prefill_vision, "audio": prefill_audio,
                 "av": prefill_av, "text": prefill_text}[mode]
         return self._prefill_cache[key]
 
@@ -203,6 +217,7 @@ class Engine:
                  stop_fn: Optional[Callable[[List[int]], bool]] = None,
                  stream_cb: Optional[Callable[[int, List[int]], None]] = None,
                  image_mode: bool = False,
+                 share_media: bool = False,
                  ) -> List[List[int]]:
         """Generate continuations for a batch of tokenized prompts.
 
@@ -219,9 +234,13 @@ class Engine:
         eos = eos_token_id if eos_token_id is not None else cfg.llm.eos_token_id
         B = len(batch_input_ids)
         mode = ("av" if frames is not None and audio is not None else
-                ("image" if image_mode else "vision")
+                ("image" if image_mode else
+                 "vision_shared" if share_media else "vision")
                 if frames is not None else
                 "audio" if audio is not None else "text")
+        if mode == "vision_shared":
+            # frames: [1, T, H, W, 3] shared by every prompt in the batch
+            frames = np.asarray(frames)[:1]
         if mode == "image":
             # single-frame slot: the tower runs once, features broadcast to
             # num_frames on device (see encode_frames broadcast_image)
@@ -245,7 +264,7 @@ class Engine:
         plan_args = (jnp.asarray(plan.text_ids), jnp.asarray(plan.is_visual),
                      jnp.asarray(plan.vis_index),
                      jnp.asarray(plan.valid_len))
-        if mode in ("vision", "image"):
+        if mode in ("vision", "image", "vision_shared"):
             fr = np.asarray(frames)
             # uint8 frames normalize on device (encode_frames); floats cast
             fr = (jnp.asarray(fr) if fr.dtype == np.uint8
