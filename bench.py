@@ -111,7 +111,7 @@ def _run(quantize_llm: bool):
     print(f"[bench] params built ({wcfg})", file=sys.stderr, flush=True)
     eng = Engine(cfg, params,
                  dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-                 max_len=2048 if on_tpu else 128,
+                 max_len=(2048 + DECODE_TOKENS) if on_tpu else 128,
                  buckets=(2048,) if on_tpu else (64,),
                  decode_chunk=DECODE_TOKENS)
     gen = GenerationConfig(max_new_tokens=DECODE_TOKENS)

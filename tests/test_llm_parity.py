@@ -92,16 +92,15 @@ def test_prefill_decode_matches_forward():
                                attn_impl="xla")
     logits = jllm.lm_logits(params, cfg, last)
     inc_tokens = []
-    cache_len = valid
     seqs = [list(ids[b, :int(valid[b])]) for b in range(B)]
-    for _ in range(steps):
+    for t in range(steps):
         nxt = jnp.argmax(logits, axis=-1)
         inc_tokens.append(np.asarray(nxt))
         for b in range(B):
             seqs[b].append(int(nxt[b]))
         te = jllm.embed_tokens(params, nxt[:, None])
-        logits, cache = jllm.decode_step(params, cfg, te, cache, cache_len)
-        cache_len = cache_len + 1
+        logits, cache = jllm.decode_step(params, cfg, te, cache, valid, S,
+                                         jnp.int32(t))
     inc_tokens = np.stack(inc_tokens, axis=1)  # [B, steps]
 
     # reference: per-sample full forward at each step
@@ -142,11 +141,11 @@ def test_greedy_decode_parity_vs_hf():
                                attn_impl="xla")
     logits = jllm.lm_logits(params, cfg, last)
     got = []
-    cache_len = jnp.array([S])
+    valid = jnp.array([S])
     for i in range(steps):
         nxt = jnp.argmax(logits, axis=-1)
         got.append(int(nxt[0]))
         te = jllm.embed_tokens(params, nxt[:, None])
-        logits, cache = jllm.decode_step(params, cfg, te, cache, cache_len)
-        cache_len = cache_len + 1
+        logits, cache = jllm.decode_step(params, cfg, te, cache, valid, S,
+                                         jnp.int32(i))
     assert got == list(ref_new)

@@ -51,3 +51,42 @@ def test_quantized_llm_forward_close():
     assert np.abs(ref - got).max() < 0.5
     assert np.argmax(ref[0, -1]) == np.argmax(got[0, -1]) or \
         np.corrcoef(ref[0, -1], got[0, -1])[0, 1] > 0.99
+
+
+def test_dense_q8_path_matches_materialized():
+    from videollama2_tpu.ops.layers import dense
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 5, 64)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((64, 32)).astype(np.float32))
+    pack = quant.quantize_int8(w, axis=-2)
+    ref = dense(x, {"kernel": quant.dequantize_int8(pack, jnp.float32)})
+    got = dense(x, {"kernel_q8": pack})
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_matmul_q8_kernel_matches():
+    from videollama2_tpu.ops.quant_matmul import matmul_q8
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((8, 128)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((128, 256)).astype(np.float32))
+    pack = quant.quantize_int8(w, axis=-2)
+    ref = x @ quant.dequantize_int8(pack, jnp.float32)
+    got = matmul_q8(x, pack["q"], pack["scale"][0], block_f=128,
+                    interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_dense_w8a8_accuracy():
+    from videollama2_tpu.ops.layers import dense_w8a8
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((4, 256)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((256, 128)).astype(np.float32))
+    pack = quant.quantize_int8(w, axis=-2)
+    ref = np.asarray(x @ w)
+    got = np.asarray(dense_w8a8(x, pack))
+    # two int8 grids: ~1% relative error on well-conditioned random data
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.03, rel
+    assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.999

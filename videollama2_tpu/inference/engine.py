@@ -168,34 +168,36 @@ class Engine:
                 "av": prefill_av, "text": prefill_text}[mode]
         return self._prefill_cache[key]
 
-    def _get_decode(self, do_sample: bool, temperature: float, top_p: float):
+    def _get_decode(self, do_sample: bool, temperature: float, top_p: float,
+                    bucket: int):
         cfg = self.cfg
         chunk = self.decode_chunk
 
         @functools.partial(jax.jit, donate_argnums=(2,),
                            static_argnames=("num_steps",))
-        def decode_chunk_fn(params, tokens, cache, cache_len, done, rng,
-                            eos_id, num_steps=chunk):
-            """tokens: [B] last sampled ids. Returns emitted [B, chunk]."""
+        def decode_chunk_fn(params, tokens, cache, valid_len, step0, done,
+                            rng, eos_id, num_steps=chunk):
+            """tokens: [B] last sampled ids; step0: scalar decode index of
+            the first step in this chunk. Returns emitted [B, chunk]."""
 
-            def step(carry, _):
-                tokens, cache, cache_len, done, rng = carry
+            def step_fn(carry, _):
+                tokens, cache, step, done, rng = carry
                 te = llm_lib.embed_tokens(params["llm"], tokens[:, None],
                                           dtype=self.dtype)
                 logits, cache = llm_lib.decode_step(
-                    params["llm"], cfg.llm, te, cache, cache_len)
+                    params["llm"], cfg.llm, te, cache, valid_len, bucket,
+                    step)
                 rng, sub = jax.random.split(rng)
                 nxt = sampling.select_token(sub, logits, do_sample,
                                             temperature, top_p)
                 nxt = jnp.where(done, eos_id, nxt).astype(jnp.int32)
                 new_done = done | (nxt == eos_id)
-                cache_len = cache_len + jnp.where(done, 0, 1)
-                return (nxt, cache, cache_len, new_done, rng), nxt
+                return (nxt, cache, step + 1, new_done, rng), nxt
 
-            (tokens, cache, cache_len, done, rng), out = jax.lax.scan(
-                step, (tokens, cache, cache_len, done, rng), None,
+            (tokens, cache, _, done, rng), out = jax.lax.scan(
+                step_fn, (tokens, cache, step0, done, rng), None,
                 length=num_steps)
-            return out.T, tokens, cache, cache_len, done, rng
+            return out.T, tokens, cache, done, rng
 
         return decode_chunk_fn
 
@@ -283,7 +285,8 @@ class Engine:
             logits, cache = prefill(self.params, plan_args[0], plan_args[3],
                                     cache)
 
-        decode = self._get_decode(gen.do_sample, gen.temperature, gen.top_p)
+        decode = self._get_decode(gen.do_sample, gen.temperature, gen.top_p,
+                                  bucket)
         rng = jax.random.PRNGKey(gen.seed)
         rng, sub = jax.random.split(rng)
         first = sampling.select_token(sub, logits, gen.do_sample,
@@ -296,14 +299,18 @@ class Engine:
                 stream_cb(b, outs[b])
 
         tokens = first
-        cache_len = jnp.asarray(plan.valid_len)
+        valid_arr = jnp.asarray(plan.valid_len)
         done = jnp.asarray(done_np)
-        remaining = gen.max_new_tokens - 1
+        # generated tokens occupy cache rows [bucket, max_len)
+        budget = self.max_len - bucket
+        remaining = min(gen.max_new_tokens - 1, budget)
+        steps_done = 0
         while remaining > 0 and not done_np.all():
             steps = min(self.decode_chunk, remaining)
-            emitted, tokens, cache, cache_len, done, rng = decode(
-                self.params, tokens, cache, cache_len, done, rng,
-                jnp.int32(eos), num_steps=steps)
+            emitted, tokens, cache, done, rng = decode(
+                self.params, tokens, cache, valid_arr,
+                jnp.int32(steps_done), done, rng, jnp.int32(eos),
+                num_steps=steps)
             emitted = np.asarray(emitted)  # [B, steps]
             for b in range(B):
                 if done_np[b]:
@@ -319,5 +326,6 @@ class Engine:
                 if stream_cb is not None:
                     stream_cb(b, outs[b])
             remaining -= steps
+            steps_done += steps
             done = jnp.asarray(done_np) | done
         return outs

