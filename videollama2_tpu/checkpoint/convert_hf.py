@@ -445,7 +445,13 @@ def model_config_from_hf(cfg_json: dict) -> ModelConfig:
         # reference STC depth is fixed at 4 (projector.py:135); test fixtures
         # may override
         depth=cfg_json.get("mm_connector_depth", 4))
+    audio = None
+    if any(k in cfg_json for k in ("mm_audio_tower", "audio_tower")) or \
+            "av" in cfg_json.get("model_type", ""):
+        from ..core.config import AudioConfig
+        audio = AudioConfig()
     return ModelConfig(model_type=mt, llm=llm, vision=vision, connector=conn,
+                       audio=audio,
                        num_frames=cfg_json.get("num_frames", 8))
 
 
@@ -455,8 +461,9 @@ def _first(x):
 
 def videollama2_params_from_state_dict(sd: Mapping, cfg: ModelConfig) -> dict:
     """Full checkpoint: model.* (LLM), model.vision_tower.vision_tower.* ,
-    model.mm_projector.* (reference save layout)."""
-    return {
+    model.mm_projector.* (reference save layout); AV checkpoints add
+    model.audio_tower.* + model.mm_projector_a.*."""
+    params = {
         "llm": llm_params_from_state_dict(sd, cfg.llm, prefix="model."),
         "vision": vision_params_from_state_dict(
             sd, cfg.vision,
@@ -464,6 +471,32 @@ def videollama2_params_from_state_dict(sd: Mapping, cfg: ModelConfig) -> dict:
         "connector": connector_params_from_state_dict(
             sd, cfg.connector, prefix="model.mm_projector."),
     }
+    if cfg.audio is not None:
+        import warnings
+        for enc_prefix in ("model.audio_tower.audio_tower.",
+                           "model.audio_tower."):
+            if f"{enc_prefix}patch_embedding.weight" in sd:
+                params["audio"] = {
+                    "encoder": audio_params_from_state_dict(
+                        sd, cfg.audio, prefix=enc_prefix),
+                    "projector": _mlp_seq(sd, "model.mm_projector_a", 2),
+                }
+                break
+        else:
+            import jax
+            import jax.numpy as jnp
+            from ..models import beats as beats_lib
+            from ..models import connector as conn_lib
+            warnings.warn("AV config but no audio tower weights found; "
+                          "audio branch randomly initialized")
+            rng = jax.random.PRNGKey(0)
+            params["audio"] = {
+                "encoder": beats_lib.init_params(rng, cfg.audio),
+                "projector": conn_lib._init_mlp(
+                    rng, 2, cfg.audio.encoder_dim, cfg.llm.hidden_size,
+                    jnp.float32),
+            }
+    return params
 
 
 def load_videollama2(path: str, model_base: str = None,

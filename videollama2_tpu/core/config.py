@@ -284,6 +284,13 @@ _PRESETS = {
         vision=clip_vit_l_336(),
         connector=ConnectorConfig(projector_type="stc_connector",
                                   mm_hidden_size=1024, hidden_size=4096)),
+    # VideoLLaMA2.1-AV (upstream audio_visual branch): SigLIP + Qwen2 + BEATs
+    "videollama2_qwen2_av": lambda: ModelConfig(
+        model_type="videollama2_qwen2", llm=qwen2_7b(),
+        vision=siglip_so400m_384(),
+        connector=ConnectorConfig(projector_type="stc_connector_v35",
+                                  mm_hidden_size=1152, hidden_size=3584),
+        audio=AudioConfig()),
 }
 
 
