@@ -1,0 +1,40 @@
+"""Smoke: every CLI entry point parses --help (catches argparse/import rot —
+the reference shipped serve/cli.py and sglang_worker.py with dead imports)."""
+
+import subprocess
+import sys
+
+import pytest
+
+MODULES = [
+    "videollama2_tpu.train.train",
+    "videollama2_tpu.serve.controller",
+    "videollama2_tpu.serve.model_worker",
+    "videollama2_tpu.serve.web_server",
+    "videollama2_tpu.serve.openai_api",
+    "videollama2_tpu.serve.cli",
+    "videollama2_tpu.serve.test_message",
+    "videollama2_tpu.serve.register_worker",
+    "videollama2_tpu.eval.inference_video_mcqa_videomme",
+    "videollama2_tpu.eval.inference_video_mcqa_mvbench",
+    "videollama2_tpu.eval.inference_video_mcqa_egoschema",
+    "videollama2_tpu.eval.inference_video_mcqa_perception_test_mcqa",
+    "videollama2_tpu.eval.inference_video_oqa_activitynet",
+    "videollama2_tpu.eval.inference_video_oqa_vcgpt",
+    "videollama2_tpu.eval.inference_video_cap_msvc",
+    "videollama2_tpu.eval.eval_video_mcqa_videomme",
+    "videollama2_tpu.eval.eval_video_mcqa_mvbench",
+    "videollama2_tpu.eval.gpt_judge",
+]
+
+
+@pytest.mark.parametrize("module", MODULES)
+def test_help(module):
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu');"
+         f"import sys; sys.argv=['x','--help'];"
+         f"import runpy; runpy.run_module('{module}', run_name='__main__')"],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-800:]
+    assert "usage" in out.stdout.lower() or "usage" in out.stderr.lower()
