@@ -119,3 +119,25 @@ def test_share_media_matches_replicated(tiny):
     b = eng.generate(prompts, frames=one, gen=gen, eos_token_id=-1,
                      share_media=True)
     assert a == b
+
+
+def test_media_group_matches_replicated(tiny):
+    """media_group (G videos, B prompts) == per-sample replicated frames."""
+    cfg, params = tiny
+    T, H = cfg.num_frames, cfg.vision.image_size
+    rng = np.random.default_rng(4)
+    vids = rng.standard_normal((2, T, H, H, 3)).astype(np.float32)
+    from videollama2_tpu.constants import VIDEO_TOKEN_INDEX
+    prompts = [[3, VIDEO_TOKEN_INDEX, 5],       # video 0
+               [7, VIDEO_TOKEN_INDEX, 8, 9],    # video 0
+               [2, VIDEO_TOKEN_INDEX, 6]]       # video 1
+    group = [0, 0, 1]
+    rep = vids[np.asarray(group)]
+
+    eng = Engine(cfg, params, dtype=jnp.float32, max_len=128, buckets=(64,),
+                 attn_impl="xla", decode_chunk=4)
+    gen = GenerationConfig(max_new_tokens=4)
+    a = eng.generate(prompts, frames=rep, gen=gen, eos_token_id=-1)
+    b = eng.generate(prompts, frames=vids, gen=gen, eos_token_id=-1,
+                     media_group=group)
+    assert a == b

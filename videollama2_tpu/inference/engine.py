@@ -105,6 +105,20 @@ class Engine:
                     last, cache = llm_lib.prefill(
                         params["llm"], cfg.llm, embeds, positions,
                         valid_len, cache, attn_impl=attn_impl)
+                elif mode == "vision_grouped":
+                    # frames [G, T, ...] + per-sample group index: G distinct
+                    # videos encode once each and feed B >= G prompts
+                    frames_arr, group_idx = frames
+                    vis = vl2.encode_frames(params, cfg, frames_arr,
+                                            attn_impl=attn_impl)
+                    vis = jnp.take(vis, group_idx, axis=0)   # [B, N, D]
+                    from ..multimodal import splice as splice_lib
+                    embeds = splice_lib.compose(
+                        params["llm"]["embed"]["weight"], vis, text_ids,
+                        is_visual, vis_index)
+                    last, cache = llm_lib.prefill(
+                        params["llm"], cfg.llm, embeds, positions,
+                        valid_len, cache, attn_impl=attn_impl)
                 else:
                     last, cache = vl2.prefill_multimodal(
                         params, cfg, frames, text_ids, is_visual, vis_index,
@@ -164,7 +178,8 @@ class Engine:
 
             self._prefill_cache[key] = {
                 "vision": prefill_vision, "image": prefill_vision,
-                "vision_shared": prefill_vision, "audio": prefill_audio,
+                "vision_shared": prefill_vision,
+                "vision_grouped": prefill_vision, "audio": prefill_audio,
                 "av": prefill_av, "text": prefill_text}[mode]
         return self._prefill_cache[key]
 
@@ -220,6 +235,7 @@ class Engine:
                  stream_cb: Optional[Callable[[int, List[int]], None]] = None,
                  image_mode: bool = False,
                  share_media: bool = False,
+                 media_group: Optional[Sequence[int]] = None,
                  ) -> List[List[int]]:
         """Generate continuations for a batch of tokenized prompts.
 
@@ -237,7 +253,8 @@ class Engine:
         B = len(batch_input_ids)
         mode = ("av" if frames is not None and audio is not None else
                 ("image" if image_mode else
-                 "vision_shared" if share_media else "vision")
+                 "vision_shared" if share_media else
+                 "vision_grouped" if media_group is not None else "vision")
                 if frames is not None else
                 "audio" if audio is not None else "text")
         if mode == "vision_shared":
@@ -266,11 +283,14 @@ class Engine:
         plan_args = (jnp.asarray(plan.text_ids), jnp.asarray(plan.is_visual),
                      jnp.asarray(plan.vis_index),
                      jnp.asarray(plan.valid_len))
-        if mode in ("vision", "image", "vision_shared"):
+        if mode in ("vision", "image", "vision_shared", "vision_grouped"):
             fr = np.asarray(frames)
             # uint8 frames normalize on device (encode_frames); floats cast
             fr = (jnp.asarray(fr) if fr.dtype == np.uint8
                   else jnp.asarray(fr, self.dtype))
+            if mode == "vision_grouped":
+                fr = (fr, jnp.asarray(np.asarray(media_group,
+                                                 dtype=np.int32)))
             logits, cache = prefill(self.params, fr, *plan_args, cache)
         elif mode == "audio":
             logits, cache = prefill(self.params,

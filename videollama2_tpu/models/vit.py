@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..core.config import VisionConfig
 from ..ops import attention as attn_ops
-from ..ops.layers import ACT2FN, dense, init_dense, layer_norm
+from ..ops.layers import ACT2FN, dense, layer_norm
 
 
 def init_params(rng: jax.Array, cfg: VisionConfig, dtype=jnp.float32) -> dict:

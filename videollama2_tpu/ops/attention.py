@@ -18,15 +18,6 @@ import jax.numpy as jnp
 _NEG_INF = -1e30  # large finite negative; avoids NaN from (-inf) - (-inf)
 
 
-def _repeat_kv(k: jax.Array, n_rep: int) -> jax.Array:
-    """[B, S, Hkv, D] -> [B, S, Hkv*n_rep, D] (GQA head expansion)."""
-    if n_rep == 1:
-        return k
-    b, s, h, d = k.shape
-    k = jnp.broadcast_to(k[:, :, :, None, :], (b, s, h, n_rep, d))
-    return k.reshape(b, s, h * n_rep, d)
-
-
 def mha_xla(q: jax.Array, k: jax.Array, v: jax.Array,
             mask: Optional[jax.Array] = None,
             scale: Optional[float] = None) -> jax.Array:
@@ -70,16 +61,6 @@ def make_prefill_mask(valid_len: jax.Array, seq_len: int,
         m = m & (qi - ki < sliding_window)
     key_valid = ki[None, :, :] < valid_len[:, None, None]  # [B, 1, S]
     return (m[None] & key_valid)[:, None]
-
-
-def make_decode_mask(cache_len: jax.Array, max_len: int,
-                     sliding_window: Optional[int] = None) -> jax.Array:
-    """Mask for one-token decode against a cache: [B, 1, 1, max_len]."""
-    ki = jnp.arange(max_len)[None, :]
-    m = ki <= cache_len[:, None]
-    if sliding_window is not None:
-        m = m & (cache_len[:, None] - ki < sliding_window)
-    return m[:, None, None, :]
 
 
 def attend_xla(q, k, v, valid_len=None, causal: bool = True,
@@ -133,11 +114,6 @@ def attend(q, k, v, valid_len=None, causal: bool = True,
         return flash_attention_vjp(q, k, v, valid_len, causal, scale)
     return attend_xla(q, k, v, valid_len=valid_len, causal=causal,
                       window=window, scale=scale)
-
-
-def mha(q, k, v, mask=None, scale=None, impl: str = "auto"):
-    """Legacy explicit-mask entry (decode path). Always XLA."""
-    return mha_xla(q, k, v, mask=mask, scale=scale)
 
 
 def _on_tpu() -> bool:
