@@ -26,7 +26,7 @@ import numpy as np
 
 NUM_FRAMES = 16
 DECODE_TOKENS = 32  # Video-MME MC answers are short (one letter + rationale)
-BATCH = 8           # batched Video-MME serving (BASELINE.json config 5)
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))  # batched serving (config 5)
 
 
 def _analytic_a100_videos_per_sec() -> float:

@@ -176,6 +176,3 @@ def unrolled():
     print(f"UNROLLED decode B={B}: {t/32*1e3:.2f} ms/tok, "
           f"{7.1e9/(t/32)/1e9:.0f} GB/s weight stream", flush=True)
 
-
-if os.environ.get("UNROLL") == "1":
-    main = unrolled
