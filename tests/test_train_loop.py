@@ -122,3 +122,35 @@ def test_trainer_runs_and_resumes(corpus, tokenizer, tmp_path):
     # resume: a new trainer picks up at step 2
     trainer2 = Trainer(cfg, params, ds, ocfg, tcfg)
     assert trainer2.start_step == 2
+
+
+def test_loss_decreases(corpus, tokenizer):
+    """Training actually learns: loss drops over repeated steps on a
+    memorizable batch (single device, tiny model)."""
+    import jax
+    import jax.numpy as jnp
+    from videollama2_tpu.core import config as cfglib
+    from videollama2_tpu.models import videollama2 as vl2
+    from videollama2_tpu.train import data as data_lib
+    from videollama2_tpu.train import optimizer as opt_lib
+    from videollama2_tpu.train import step as step_lib
+
+    root, anno = corpus
+    cfg = cfglib.tiny_model()
+    params = vl2.init_params(jax.random.PRNGKey(0), cfg)
+    da = data_lib.DataArguments(data_path=[anno], data_folder=root)
+    ds = data_lib.SupervisedDataset([anno], tokenizer, da, cfg)
+    collator = data_lib.Collator(cfg, seq_len=64)
+    batch = collator([ds[0], ds[1]])
+
+    ocfg = opt_lib.OptimizerConfig(learning_rate=3e-3, total_steps=40,
+                                   warmup_ratio=0.0, schedule="constant")
+    tx = opt_lib.build_optimizer(params, ocfg)
+    step = step_lib.make_train_step(cfg, tx, compute_dtype=jnp.float32,
+                                    attn_impl="xla")
+    state = step_lib.init_state(params, tx)
+    losses = []
+    for _ in range(12):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.7, losses
