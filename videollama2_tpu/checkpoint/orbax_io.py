@@ -97,7 +97,6 @@ def export_hf_projector_bin(path: str, connector_params: Any,
     (projector.py:49-63). Inverse of convert_hf.connector_params_from_
     state_dict."""
     import torch
-    from .convert_hf import connector_params_from_state_dict  # noqa: F401
     sd = {}
 
     def conv_t(kernel, ndim):

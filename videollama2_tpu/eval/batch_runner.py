@@ -10,7 +10,7 @@ Video-MME serving shape of BASELINE.json config 5. One call drives:
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Sequence, Tuple
+from typing import Callable, List, Sequence, Tuple
 
 import numpy as np
 

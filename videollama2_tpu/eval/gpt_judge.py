@@ -23,7 +23,6 @@ import argparse
 import ast
 import json
 import os
-import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Optional

@@ -18,7 +18,6 @@ import argparse
 import json
 import os
 
-import numpy as np
 
 from ..media import sampler as sampler_lib
 from .common import ResultWriter, extract_choice_letter, get_chunk, \
@@ -89,7 +88,7 @@ def main():
     ap.add_argument("--num-frames", type=int, default=None)
     args = ap.parse_args()
 
-    from .. import mm_infer, model_init
+    from .. import model_init
     model, processor, tokenizer = model_init(args.model_path)
     num_frames = args.num_frames or model.config.num_frames
 

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 
 from .common import ResultWriter, get_chunk, run_inference_loop
 from .inference_video_oqa_activitynet import resolve_video

@@ -10,9 +10,8 @@ notes CPU decode is often wall-clock dominant).
 
 from __future__ import annotations
 
-import queue
 import threading
-from typing import Callable, Iterable, Iterator, Optional, TypeVar
+from typing import Callable, Iterable, Iterator, TypeVar
 
 T = TypeVar("T")
 U = TypeVar("U")

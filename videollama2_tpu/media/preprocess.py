@@ -19,14 +19,13 @@ Outputs are channels-last [T, H, W, 3] float32 — the TPU-native layout
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 from PIL import Image
 
 from ..constants import MAX_FRAMES, NUM_FRAMES
 from ..core.config import VisionConfig
-from . import sampler as sampler_lib
 
 
 def expand2square(pil_img: Image.Image,

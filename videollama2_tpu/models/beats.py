@@ -21,7 +21,6 @@ tests/test_beats.py's torch replica of the same architecture.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,6 @@ The readout MLP uses exact (erf) GELU (torch nn.GELU default).
 from __future__ import annotations
 
 import re
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

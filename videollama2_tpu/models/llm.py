@@ -27,8 +27,7 @@ Param tree layout (kernels are [in, out], i.e. transposed torch Linear):
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ Params tree: {"llm": ..., "vision": ..., "connector": ...[, "audio": ...]}.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ sees one large GEMM per layer across all frames.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

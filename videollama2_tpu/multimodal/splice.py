@@ -27,7 +27,7 @@ uses rows [n*tokens_per_modal, (n+1)*tokens_per_modal)).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ XLA path (compute-bound at ~160 TF/s, the bf16 copy amortizes).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

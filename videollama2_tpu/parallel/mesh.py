@@ -15,7 +15,7 @@ outermost so gradient all-reduces are the only DCN traffic.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

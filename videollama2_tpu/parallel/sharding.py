@@ -18,7 +18,7 @@ Conventions (stacked-layer trees, kernels [in, out]):
 from __future__ import annotations
 
 import re
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -22,7 +22,6 @@ import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Iterator, List, Optional
 
-import numpy as np
 
 from ..constants import (DEFAULT_IMAGE_TOKEN, DEFAULT_VIDEO_TOKEN,
                          WORKER_HEART_BEAT_INTERVAL)

@@ -29,10 +29,10 @@ from typing import Dict, List, NamedTuple, Optional, Sequence
 
 import numpy as np
 
-from ..constants import IGNORE_INDEX, MODAL_INDEX_MAP, NUM_FRAMES
+from ..constants import IGNORE_INDEX, MODAL_INDEX_MAP
 from ..core.config import ModelConfig
 from ..media.preprocess import process_image, process_video
-from ..multimodal.splice import SplicePlan, plan_batch
+from ..multimodal.splice import plan_batch
 from ..multimodal.tokenizer import tokenizer_multimodal_token
 
 

@@ -14,7 +14,7 @@ into base params for export (model/__init__.py:88-137 merge path).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,13 +10,12 @@ computation of pretrain.sh:24-27 becomes a function argument).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..core.config import ModelConfig
 from ..models import videollama2 as vl2

@@ -82,7 +82,6 @@ def main():
 
     from ..checkpoint import convert_hf, orbax_io
     from ..core import config as cfglib
-    from ..models import videollama2 as vl2
     from . import data as data_lib
     from . import optimizer as opt_lib
     from .trainer import Trainer, TrainerConfig
@@ -111,7 +110,6 @@ def main():
             llm = convert_hf.llm_params_from_state_dict(
                 convert_hf.load_state_dict_from_dir(args.model_path),
                 cfg.llm)
-            import jax.numpy as jnp
             from ..models import connector as conn_lib
             from ..models import vit as vit_lib
             rng = jax.random.PRNGKey(args.seed)
