@@ -66,10 +66,16 @@ def main():
 
     fn = jax.jit(chunk, donate_argnums=(2,))
     tok = jnp.zeros((B,), jnp.int32)
-    tok2, cache = jax.block_until_ready(fn(lparams, tok, cache, valid_len))
+    # sync via device->host readback: on the axon tunnel block_until_ready
+    # returns before execution finishes (see scripts/profile_kernels.py)
+    tok, cache = fn(lparams, tok, cache, valid_len)
+    np.asarray(tok)
+    iters = int(os.environ.get("ITERS", "4"))
     t0 = time.time()
-    tok2, cache = jax.block_until_ready(fn(lparams, tok, cache, valid_len))
-    t = time.time() - t0
+    for _ in range(iters):
+        tok, cache = fn(lparams, tok, cache, valid_len)
+    np.asarray(tok)
+    t = (time.time() - t0) / iters
     per = t / 32
     print(f"decode B={B}: {per*1e3:.2f} ms/tok, "
           f"int8-weight stream {7.1e9/per/1e9:.0f} GB/s, "

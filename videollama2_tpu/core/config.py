@@ -107,6 +107,11 @@ class LLMConfig:
     num_experts: int = 0
     num_experts_per_tok: int = 2
     router_aux_loss_coef: float = 0.02
+    # MoE dispatch: "auto" = capacity-based top-k gather for >=64 tokens
+    # (prefill/training), exact every-expert compute below; "dense" = always
+    # exact (HF MixtralSparseMoeBlock semantics); "gather" = always gather
+    moe_dispatch: str = "auto"
+    moe_capacity_factor: float = 2.0
     # Special token ids (from HF generation/tokenizer config)
     bos_token_id: int = 1
     eos_token_id: int = 2

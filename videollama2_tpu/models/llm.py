@@ -123,27 +123,83 @@ def lm_logits(params: dict, cfg: LLMConfig, hidden: jax.Array) -> jax.Array:
 # Layer bodies
 # ---------------------------------------------------------------------------
 
-def _ffn_moe(x: jax.Array, lp: dict, cfg: LLMConfig) -> jax.Array:
-    """Mixtral sparse-MoE FFN (HF MixtralSparseMoeBlock semantics).
-
-    Correctness-first dense formulation: every expert computes every token and
-    unselected experts are zero-weighted. The `expert` mesh axis shards the E
-    dimension so each device only holds (and computes) its experts; a
-    capacity-based gather dispatch is the planned optimization.
-    """
+def _moe_router(x: jax.Array, lp: dict, cfg: LLMConfig):
+    """Top-k routing (HF MixtralSparseMoeBlock): fp32 softmax over all
+    experts, keep top-k, renormalize the kept weights."""
     router_logits = jnp.einsum("...d,de->...e", x.astype(jnp.float32),
                                lp["router"]["kernel"].astype(jnp.float32))
     probs = jax.nn.softmax(router_logits, axis=-1)           # [..., E]
     topw, topi = jax.lax.top_k(probs, cfg.num_experts_per_tok)
     topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    return topw, topi
+
+
+def _ffn_moe(x: jax.Array, lp: dict, cfg: LLMConfig) -> jax.Array:
+    """Mixtral sparse-MoE FFN dispatch.
+
+    "dense": exact HF MixtralSparseMoeBlock semantics — every expert computes
+    every token, unselected experts zero-weighted (E/k times the top-k
+    FLOPs; the correctness oracle). "gather": capacity-based top-k dispatch —
+    only routed (token, expert) pairs compute, FLOPs ~ k/E of dense; tokens
+    beyond an expert's capacity are dropped (standard MoE capacity
+    semantics — a delta vs HF's exact compute that vanishes as capacity
+    grows). "auto" picks gather for >=64 tokens (prefill/training), dense
+    for tiny decode batches where capacity would have to be ~N anyway.
+    """
+    mode = cfg.moe_dispatch
+    if mode == "auto":
+        n_tok = x.shape[0] * x.shape[1]
+        mode = "gather" if n_tok >= 64 else "dense"
+    if mode == "gather":
+        return _ffn_moe_gather(x, lp, cfg)
+    topw, topi = _moe_router(x, lp, cfg)
     # scatter normalized top-k weights back to a dense [., E] weight tensor
-    oh = jax.nn.one_hot(topi, cfg.num_experts, dtype=probs.dtype)
+    oh = jax.nn.one_hot(topi, cfg.num_experts, dtype=topw.dtype)
     weights = jnp.sum(oh * topw[..., None], axis=-2)          # [..., E]
     g = jnp.einsum("bsd,edf->bsef", x, lp["gate"]["kernel"].astype(x.dtype))
     u = jnp.einsum("bsd,edf->bsef", x, lp["up"]["kernel"].astype(x.dtype))
     h = jax.nn.silu(g) * u
     y = jnp.einsum("bsef,efd->bsed", h, lp["down"]["kernel"].astype(x.dtype))
     return jnp.einsum("bsed,bse->bsd", y, weights.astype(x.dtype))
+
+
+def _ffn_moe_gather(x: jax.Array, lp: dict, cfg: LLMConfig) -> jax.Array:
+    """Capacity-based top-k gather/scatter MoE (the EP-efficient dispatch).
+
+    Tokens are packed into a [E, C, D] buffer (C = capacity per expert),
+    each expert runs its FFN over its own contiguous block (one batched
+    einsum on the stacked expert weights — shards on the `expert` mesh
+    axis), and the outputs scatter-add back weighted by the router. FLOPs:
+    E*C*D*F*3 ~ (k/E * capacity_factor) of the dense formulation.
+    """
+    B, S, D = x.shape
+    E, k = cfg.num_experts, cfg.num_experts_per_tok
+    N = B * S
+    xt = x.reshape(N, D)
+    topw, topi = _moe_router(xt, lp, cfg)                  # [N, k]
+    # pairs: (token, slot) flattened
+    flat_e = topi.reshape(-1)                              # [N*k]
+    flat_w = topw.reshape(-1)
+    flat_t = jnp.repeat(jnp.arange(N), k)                  # [N*k]
+    C = min(N, max(1, int(-(-N * k * cfg.moe_capacity_factor // E))))
+    # rank of each pair within its expert (arrival order, HF tie behavior
+    # is irrelevant because overflow only drops beyond capacity)
+    oh = jax.nn.one_hot(flat_e, E, dtype=jnp.int32)        # [N*k, E]
+    pos = jnp.cumsum(oh, axis=0) * oh
+    pos_in_e = jnp.max(pos, axis=1) - 1                    # [N*k]
+    keep = pos_in_e < C
+    slot = jnp.clip(pos_in_e, 0, C - 1)
+    buf = jnp.zeros((E, C, D), x.dtype)
+    contrib = jnp.where(keep[:, None], xt[flat_t], 0).astype(x.dtype)
+    buf = buf.at[flat_e, slot].add(contrib, mode="drop")
+    g = jnp.einsum("ecd,edf->ecf", buf, lp["gate"]["kernel"].astype(x.dtype))
+    u = jnp.einsum("ecd,edf->ecf", buf, lp["up"]["kernel"].astype(x.dtype))
+    h = jax.nn.silu(g) * u
+    y = jnp.einsum("ecf,efd->ecd", h, lp["down"]["kernel"].astype(x.dtype))
+    pair_out = y[flat_e, slot]                             # [N*k, D]
+    pair_out = pair_out * (flat_w * keep).astype(x.dtype)[:, None]
+    out = jnp.zeros((N, D), x.dtype).at[flat_t].add(pair_out)
+    return out.reshape(B, S, D)
 
 
 def _attention_block(cfg: LLMConfig, x: jax.Array, lp: dict,
@@ -259,6 +315,15 @@ def decode_step(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
         mask = mask & (positions - logical_k < cfg.sliding_window)
     mask = mask[:, None, None, :]
 
+    layers = params["layers"]
+    if not cfg.is_moe and all(
+            "kernel_q8" in layers[n] and "lora" not in layers[n]
+            for n in ("q", "k", "v", "o", "gate", "up", "down")):
+        # unmerged LoRA adapters fall through to the dense() path, which
+        # applies them; the Pallas kernels read only the quantized base
+        return _decode_step_q8(params, cfg, token_embeds, cache, mask,
+                               cos, sin, write_pos)
+
     def body(x, scan_in):
         lp, ck, cv = scan_in
         h = rms_norm(x, lp["attn_norm"]["scale"], cfg.rms_norm_eps)
@@ -286,6 +351,75 @@ def decode_step(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
 
     x, (new_k, new_v) = jax.lax.scan(
         body, token_embeds, (params["layers"], cache.k, cache.v))
+    x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
+    logits = lm_logits(params, cfg, x[:, 0])
+    return logits, KVCache(new_k, new_v)
+
+
+def _decode_step_q8(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
+                    cache: KVCache, mask: jax.Array, cos: jax.Array,
+                    sin: jax.Array, write_pos: jax.Array
+                    ) -> Tuple[jax.Array, KVCache]:
+    """Decode step over int8-packed weights via layer-indexed Pallas matmuls.
+
+    `lax.scan` over stacked weights stages each layer's slice through a fresh
+    HBM buffer (3x the weight bytes — the 35-44 ms/token floor characterized
+    in docs/DESIGN.md). Here the scan iterates only the layer INDEX plus the
+    small per-layer tensors (norm scales, qkv biases, KV cache rows); the
+    stacked int8 kernels are closed over and read in place by Pallas kernels
+    (ops/decode_matmul) that DMA exactly layer li's blocks HBM->VMEM.
+    """
+    from ..ops import decode_matmul as dk
+
+    B = token_embeds.shape[0]
+    H, K, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    L = cfg.num_layers
+    layers = params["layers"]
+    big = {n: layers[n]["kernel_q8"]
+           for n in ("q", "k", "v", "o", "gate", "up", "down")}
+
+    small = {"attn_norm": layers["attn_norm"]["scale"],
+             "mlp_norm": layers["mlp_norm"]["scale"]}
+    for n in ("q", "k", "v", "o"):
+        if layers[n].get("bias") is not None:
+            small[n + "_bias"] = layers[n]["bias"]
+
+    def body(x, scan_in):
+        sp, ck, cv, li = scan_in
+        h = rms_norm(x, sp["attn_norm"], cfg.rms_norm_eps)
+        h2 = h[:, 0]                                   # [B, D]
+        q = dk.matmul_q8_layered(h2, big["q"]["q"], big["q"]["scale"], li)
+        k = dk.matmul_q8_layered(h2, big["k"]["q"], big["k"]["scale"], li)
+        v = dk.matmul_q8_layered(h2, big["v"]["q"], big["v"]["scale"], li)
+        if "q_bias" in sp:
+            q = q + sp["q_bias"].astype(q.dtype)
+            k = k + sp["k_bias"].astype(k.dtype)
+            v = v + sp["v_bias"].astype(v.dtype)
+        q = q.reshape(B, 1, H, hd)
+        k = k.reshape(B, 1, K, hd)
+        v = v.reshape(B, 1, K, hd)
+        q, k = apply_rope(q, k, cos, sin)
+        ck = jax.lax.dynamic_update_slice(
+            ck, k.astype(ck.dtype), (0, write_pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cv, v.astype(cv.dtype), (0, write_pos, 0, 0))
+        out = attn_ops.mha_xla(q, ck.astype(q.dtype), cv.astype(q.dtype),
+                               mask=mask)
+        out = dk.matmul_q8_layered(out.reshape(B, H * hd),
+                                   big["o"]["q"], big["o"]["scale"], li)
+        if "o_bias" in sp:
+            out = out + sp["o_bias"].astype(out.dtype)
+        x = x + out[:, None, :]
+        h = rms_norm(x, sp["mlp_norm"], cfg.rms_norm_eps)
+        ffn = dk.ffn_q8_layered(
+            h[:, 0], big["gate"]["q"], big["gate"]["scale"],
+            big["up"]["q"], big["up"]["scale"],
+            big["down"]["q"], big["down"]["scale"], li)
+        return x + ffn[:, None, :], (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, token_embeds,
+        (small, cache.k, cache.v, jnp.arange(L, dtype=jnp.int32)))
     x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
     logits = lm_logits(params, cfg, x[:, 0])
     return logits, KVCache(new_k, new_v)

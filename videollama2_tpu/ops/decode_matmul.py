@@ -1,0 +1,183 @@
+"""Pallas layer-indexed int8 matmuls for the bandwidth-bound decode step.
+
+The decode loop iterates layers with `lax.scan` over weight tensors STACKED
+on a leading L axis. XLA stages each scanned slice through a fresh HBM
+buffer (read + write + read = 3x the weight bytes) and adds dequant
+temporaries — measured 35-44 ms/token at 7B/B=8 where the int8 bytes alone
+cost ~9 ms (docs/DESIGN.md perf table). These kernels instead keep the
+stacked weights in HBM and pass the *layer index* via scalar prefetch: the
+Mosaic pipeline DMAs exactly layer li's blocks into VMEM (double-buffered
+across grid steps) and converts int8->bf16 in-register feeding the MXU, so
+each decode step reads each weight byte exactly once.
+
+Replaces the reference's HF decode loop + bitsandbytes int8 CUDA kernels
+(reference videollama2/model/__init__.py:59-69) on the serving path.
+
+Weight pack layout (ops/quant.quantize_llm_params):
+  q:     [L, Din, Dout] int8
+  scale: [L, 1, Dout]   fp32 (per-output-channel, symmetric)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret_default() -> bool:
+    return jax.devices()[0].platform != "tpu"
+
+
+def _pad_rows(x: jax.Array, mult: int = 16):
+    """Pad the row dim up to the bf16 sublane tile."""
+    r = x.shape[0]
+    pad = (-r) % mult
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    return x, r
+
+
+def _pick_block(total: int, target: int) -> int:
+    b = min(target, total)
+    while total % b:
+        b //= 2
+    return max(b, 128 if total % 128 == 0 else 1)
+
+
+# ---------------------------------------------------------------------------
+# Generic layered matmul: out = x @ dequant(q[li])
+# ---------------------------------------------------------------------------
+
+def _mm_kernel(li_ref, x_ref, q_ref, s_ref, o_ref):
+    del li_ref  # consumed by the index maps
+    x = x_ref[:]                                    # [R, Din]
+    w = q_ref[0].astype(x.dtype)                    # int8 -> bf16 in VMEM
+    acc = jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o_ref[:] = (acc * s_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def matmul_q8_layered(x: jax.Array, q: jax.Array, scale: jax.Array,
+                      layer: jax.Array, block_out: int = 512,
+                      interpret: Optional[bool] = None) -> jax.Array:
+    """x: [R, Din]; q: [L, Din, Dout] int8; scale: [L, 1, Dout]; layer: scalar.
+
+    Returns [R, Dout] in x.dtype. The stacked q stays in HBM; only layer
+    `layer`'s blocks are DMA'd (pipelined by the grid).
+    """
+    L, Din, Dout = q.shape
+    if interpret is None:
+        interpret = _interpret_default()
+    bo = _pick_block(Dout, block_out)
+    x, R = _pad_rows(x)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,                       # layer index in SMEM
+        grid=(Dout // bo,),
+        in_specs=[
+            pl.BlockSpec((x.shape[0], Din), lambda f, li: (0, 0)),
+            pl.BlockSpec((1, Din, bo), lambda f, li: (li[0], 0, f)),
+            pl.BlockSpec((1, 1, bo), lambda f, li: (li[0], 0, f)),
+        ],
+        out_specs=pl.BlockSpec((x.shape[0], bo), lambda f, li: (0, f)),
+    )
+    out = pl.pallas_call(
+        _mm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], Dout), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * x.shape[0] * Din * Dout),
+            bytes_accessed=int(Din * Dout + x.size * 2 + x.shape[0] * Dout * 2),
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, q, scale)
+    return out[:R]
+
+
+# ---------------------------------------------------------------------------
+# Fused SwiGLU FFN: out = (silu(x@G) * (x@U)) @ D, all weights layer-indexed
+# ---------------------------------------------------------------------------
+
+def _ffn_kernel(li_ref, x_ref, g_ref, gs_ref, u_ref, us_ref, d_ref, ds_ref,
+                o_ref, acc_ref):
+    del li_ref
+    f = pl.program_id(0)
+    x = x_ref[:]                                    # [R, D]
+    g = jax.lax.dot_general(x, g_ref[0].astype(x.dtype),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    g = g * gs_ref[0].astype(jnp.float32)           # [R, bf]
+    u = jax.lax.dot_general(x, u_ref[0].astype(x.dtype),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    u = u * us_ref[0].astype(jnp.float32)
+    h = (jax.nn.silu(g) * u).astype(x.dtype)        # [R, bf]
+    part = jax.lax.dot_general(h, d_ref[0].astype(x.dtype),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    @pl.when(f == 0)
+    def _init():
+        acc_ref[:] = part
+
+    @pl.when(f > 0)
+    def _acc():
+        acc_ref[:] += part
+
+    @pl.when(f == pl.num_programs(0) - 1)
+    def _emit():
+        o_ref[:] = (acc_ref[:] * ds_ref[0].astype(jnp.float32)
+                    ).astype(o_ref.dtype)
+
+
+def ffn_q8_layered(x: jax.Array, gate_q: jax.Array, gate_s: jax.Array,
+                   up_q: jax.Array, up_s: jax.Array,
+                   down_q: jax.Array, down_s: jax.Array,
+                   layer: jax.Array, block_f: int = 256,
+                   interpret: Optional[bool] = None) -> jax.Array:
+    """Fused SwiGLU FFN over layer-indexed int8 weights.
+
+    x: [R, D]; gate_q/up_q: [L, D, F] int8; down_q: [L, F, D] int8;
+    *_s: matching [L, 1, .] fp32 scales; layer: scalar int32.
+    Returns [R, D] in x.dtype. One kernel streams gate+up+down blocks of the
+    selected layer (3 * D * block_f int8 bytes per grid step, pipelined).
+    """
+    L, D, F = gate_q.shape
+    if interpret is None:
+        interpret = _interpret_default()
+    bf = _pick_block(F, block_f)
+    x, R = _pad_rows(x)
+    Rp = x.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(F // bf,),
+        in_specs=[
+            pl.BlockSpec((Rp, D), lambda f, li: (0, 0)),
+            pl.BlockSpec((1, D, bf), lambda f, li: (li[0], 0, f)),
+            pl.BlockSpec((1, 1, bf), lambda f, li: (li[0], 0, f)),
+            pl.BlockSpec((1, D, bf), lambda f, li: (li[0], 0, f)),
+            pl.BlockSpec((1, 1, bf), lambda f, li: (li[0], 0, f)),
+            pl.BlockSpec((1, bf, D), lambda f, li: (li[0], f, 0)),
+            pl.BlockSpec((1, 1, D), lambda f, li: (li[0], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((Rp, D), lambda f, li: (0, 0)),
+        scratch_shapes=[pltpu.VMEM((Rp, D), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        _ffn_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Rp, D), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * Rp * D * F * 3),
+            bytes_accessed=int(3 * D * F + Rp * D * 4),
+            transcendentals=int(Rp * F)),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x,
+      gate_q, gate_s, up_q, up_s, down_q, down_s)
+    return out[:R]
