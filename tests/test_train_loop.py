@@ -124,6 +124,136 @@ def test_trainer_runs_and_resumes(corpus, tokenizer, tmp_path):
     assert trainer2.start_step == 2
 
 
+def _lora_setup(corpus, tokenizer, bits=16, r=4, lr=3e-3):
+    import jax
+    import jax.numpy as jnp
+    from videollama2_tpu.core import config as cfglib
+    from videollama2_tpu.models import videollama2 as vl2
+    from videollama2_tpu.ops import quant
+    from videollama2_tpu.train import data as data_lib
+    from videollama2_tpu.train import lora as lora_lib
+    from videollama2_tpu.train import optimizer as opt_lib
+    from videollama2_tpu.train import step as step_lib
+
+    root, anno = corpus
+    cfg = cfglib.tiny_model()
+    params = vl2.init_params(jax.random.PRNGKey(0), cfg)
+    if bits in (4, 8):
+        params["llm"] = quant.quantize_llm_params(params["llm"], bits=8)
+    lcfg = lora_lib.LoraConfig(r=r, alpha=2 * r)
+    params["llm"] = lora_lib.inject_lora(jax.random.PRNGKey(1),
+                                         params["llm"], lcfg)
+    da = data_lib.DataArguments(data_path=[anno], data_folder=root)
+    ds = data_lib.SupervisedDataset([anno], tokenizer, da, cfg)
+    collator = data_lib.Collator(cfg, seq_len=64)
+    batch = collator([ds[0], ds[1]])
+
+    ocfg = opt_lib.OptimizerConfig(learning_rate=lr, total_steps=40,
+                                   warmup_ratio=0.0, schedule="constant",
+                                   lora_enable=True)
+    tx = opt_lib.build_optimizer(params, ocfg)
+    trainable = opt_lib.trainable_mask(params, ocfg)
+    step = step_lib.make_train_step(cfg, tx, compute_dtype=jnp.float32,
+                                    attn_impl="xla", trainable=trainable)
+    state = step_lib.init_state(params, tx)
+    return cfg, params, state, step, batch, lcfg
+
+
+def test_lora_step_updates_only_adapters(corpus, tokenizer):
+    """LoRA training (reference train.py:465-481): after a step, only the
+    injected a/b adapters and the projector change; the base LLM kernels,
+    embeddings and vision tower are bit-identical."""
+    import jax
+    import numpy as np
+
+    cfg, params, state, step, batch, _ = _lora_setup(corpus, tokenizer)
+    # snapshot before stepping: the step donates the state, deleting sources
+    params = jax.tree.map(lambda a: np.asarray(a), params)
+    state1, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+    flat0 = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat1 = jax.tree_util.tree_flatten_with_path(state1.params)[0]
+    changed, frozen_ok = [], []
+    for (p0, l0), (p1, l1) in zip(flat0, flat1):
+        key = "/".join(str(getattr(k, "key", k)) for k in p0)
+        same = np.array_equal(np.asarray(l0), np.asarray(l1))
+        if "/lora/" in key and key.rsplit("/", 1)[1] in ("a", "b"):
+            changed.append((key, same))
+        elif key.startswith("connector"):
+            pass  # projector trains too (non-LoRA trainables)
+        else:
+            frozen_ok.append((key, same))
+    # every adapter 'b' must move (a's grads flow through b=0 at step 1,
+    # so b changes first); no frozen leaf may move
+    assert any(not same for key, same in changed if key.endswith("/b")), \
+        changed
+    bad = [key for key, same in frozen_ok if not same]
+    assert not bad, bad
+
+
+def test_qlora_int8_base_trains(corpus, tokenizer):
+    """QLoRA (reference train.py:404-423): int8-frozen base + adapters.
+    The step must run (int8 leaves excluded from differentiation), the loss
+    stays finite, and repeated steps reduce it."""
+    import numpy as np
+
+    cfg, params, state, step, batch, _ = _lora_setup(corpus, tokenizer,
+                                                     bits=8, lr=1e-2)
+    losses = []
+    for _ in range(10):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses), losses
+    assert losses[-1] < losses[0], losses
+
+
+def test_lora_split_save_roundtrip(corpus, tokenizer, tmp_path):
+    """Split save (videollama2_trainer.py:343-361) -> load path (a):
+    adapter_model.bin + non_lora_trainables.bin reload through
+    convert_hf.load_videollama2 and match merge_lora_injected numerics."""
+    import jax
+    import numpy as np
+    from videollama2_tpu.checkpoint import convert_hf, orbax_io
+    from videollama2_tpu.train import lora as lora_lib
+    from make_tiny_checkpoint import build_checkpoint
+
+    base_dir = str(tmp_path / "base")
+    build_checkpoint(base_dir)
+    cfg, params = convert_hf.load_videollama2(base_dir)
+
+    lcfg = lora_lib.LoraConfig(r=4, alpha=8)
+    llm_l = lora_lib.inject_lora(jax.random.PRNGKey(1), params["llm"], lcfg)
+    # give b nonzero values so the delta is visible
+    layers = dict(llm_l["layers"])
+    for name, entry in layers.items():
+        if isinstance(entry, dict) and "lora" in entry:
+            lo = dict(entry["lora"])
+            lo["b"] = jax.random.normal(jax.random.PRNGKey(2),
+                                        lo["b"].shape) * 0.02
+            layers[name] = {**entry, "lora": lo}
+    llm_l = {**llm_l, "layers": layers}
+
+    out = str(tmp_path / "lora_ckpt")
+    orbax_io.export_lora_split(out, llm_l, params["connector"], cfg)
+    for fname in ("adapter_model.bin", "adapter_config.json",
+                  "non_lora_trainables.bin", "config.json"):
+        assert os.path.exists(os.path.join(out, fname)), fname
+
+    cfg2, params2 = convert_hf.load_videollama2(out, model_base=base_dir)
+    merged = lora_lib.merge_lora_injected(llm_l)
+    got = params2["llm"]["layers"]["q"]["kernel"]
+    want = merged["layers"]["q"]["kernel"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+    # projector round-trips through non_lora_trainables
+    p_got = jax.tree.leaves(params2["connector"])
+    p_want = jax.tree.leaves(params["connector"])
+    for g, w in zip(p_got, p_want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=1e-6)
+
+
 def test_loss_decreases(corpus, tokenizer):
     """Training actually learns: loss drops over repeated steps on a
     memorizable batch (single device, tiny model)."""

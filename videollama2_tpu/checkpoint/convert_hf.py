@@ -459,6 +459,59 @@ def _first(x):
     return x[0] if isinstance(x, (list, tuple)) else x
 
 
+def model_config_to_hf(cfg: ModelConfig) -> dict:
+    """Inverse of model_config_from_hf: emit a config.json dict in the
+    reference's HF layout (videollama2_arch.py:49,64-68 mm_* stamping) so
+    checkpoints written by this framework round-trip through both loaders."""
+    llm = cfg.llm
+    arch = {"videollama2_mistral": "Videollama2MistralForCausalLM",
+            "videollama2_qwen2": "Videollama2Qwen2ForCausalLM",
+            "videollama2_mixtral": "Videollama2MixtralForCausalLM",
+            "videollama2_llama": "Videollama2LlamaForCausalLM",
+            }.get(cfg.model_type, "Videollama2MistralForCausalLM")
+    out = {
+        "model_type": cfg.model_type,
+        "architectures": [arch],
+        "vocab_size": llm.vocab_size,
+        "hidden_size": llm.hidden_size,
+        "intermediate_size": llm.intermediate_size,
+        "num_hidden_layers": llm.num_layers,
+        "num_attention_heads": llm.num_heads,
+        "num_key_value_heads": llm.num_kv_heads,
+        "head_dim": llm.head_dim,
+        "rope_theta": llm.rope_theta,
+        "rms_norm_eps": llm.rms_norm_eps,
+        "max_position_embeddings": llm.max_position_embeddings,
+        "sliding_window": llm.sliding_window,
+        "tie_word_embeddings": llm.tie_word_embeddings,
+        "bos_token_id": llm.bos_token_id,
+        "eos_token_id": llm.eos_token_id,
+        "pad_token_id": llm.pad_token_id,
+        "mm_projector_type": cfg.connector.projector_type,
+        "mm_hidden_size": cfg.connector.mm_hidden_size,
+        "mm_vision_tower": ("siglip-so400m-patch14-384"
+                            if cfg.vision.variant == "siglip"
+                            else "clip-vit-large-patch14-336"),
+        "mm_vision_select_layer": cfg.vision.select_layer,
+        "mm_vision_select_feature": "patch",
+        "num_frames": cfg.num_frames,
+    }
+    if llm.is_moe:
+        out["num_local_experts"] = llm.num_experts
+        out["num_experts_per_tok"] = llm.num_experts_per_tok
+    if cfg.connector.depth != 4:
+        out["mm_connector_depth"] = cfg.connector.depth
+    # tiny test-fixture towers carry explicit dims for round-tripping
+    if cfg.vision.image_size not in (336, 384):
+        v = cfg.vision
+        out["tiny_test_vision"] = {
+            "image_size": v.image_size, "patch_size": v.patch_size,
+            "hidden_size": v.hidden_size,
+            "intermediate_size": v.intermediate_size,
+            "num_layers": v.num_layers, "num_heads": v.num_heads}
+    return out
+
+
 def videollama2_params_from_state_dict(sd: Mapping, cfg: ModelConfig) -> dict:
     """Full checkpoint: model.* (LLM), model.vision_tower.vision_tower.* ,
     model.mm_projector.* (reference save layout); AV checkpoints add

@@ -97,6 +97,13 @@ def export_hf_projector_bin(path: str, connector_params: Any,
     (projector.py:49-63). Inverse of convert_hf.connector_params_from_
     state_dict."""
     import torch
+    sd = _projector_state_dict(connector_params, "model.mm_projector.")
+    torch.save(sd, path)
+
+
+def _projector_state_dict(connector_params: Any, prefix: str) -> dict:
+    """Connector params -> torch state dict in the reference key layout."""
+    import torch
     sd = {}
 
     def conv_t(kernel, ndim):
@@ -106,7 +113,6 @@ def export_hf_projector_bin(path: str, connector_params: Any,
         return torch.tensor(a.transpose(4, 3, 0, 1, 2))
 
     p = connector_params
-    prefix = "model.mm_projector."
 
     def put_cna(name, cna):
         sd[prefix + name + ".conv.weight"] = conv_t(cna["conv"]["kernel"], 2)
@@ -152,4 +158,62 @@ def export_hf_projector_bin(path: str, connector_params: Any,
                 np.asarray(fc["kernel"]).T)
             sd[prefix + f"{idx}.bias"] = torch.tensor(
                 np.asarray(fc["bias"]))
-    torch.save(sd, path)
+    return sd
+
+
+# peft module names for the stacked-kernel targets (train/lora.py TARGETS)
+_PEFT_NAME = {"q": "self_attn.q_proj", "k": "self_attn.k_proj",
+              "v": "self_attn.v_proj", "o": "self_attn.o_proj",
+              "gate": "mlp.gate_proj", "up": "mlp.up_proj",
+              "down": "mlp.down_proj"}
+
+
+def export_lora_split(directory: str, llm_params: Any, connector_params: Any,
+                      model_cfg) -> None:
+    """LoRA split save (reference videollama2_trainer.py:343-361):
+
+      adapter_model.bin       peft-format LoRA A/B weights
+      adapter_config.json     r/alpha/targets
+      non_lora_trainables.bin projector weights (base_model.model. prefix)
+      config.json             model config for the loader
+
+    Readable back by convert_hf.load_videollama2 path (a) and by the
+    reference's own peft loader (model/__init__.py:88-137).
+    """
+    import torch
+    from ..train import lora as lora_lib
+
+    os.makedirs(directory, exist_ok=True)
+    adapters = lora_lib.extract_lora(llm_params)["layers"]
+    if not adapters:
+        raise ValueError("no injected LoRA adapters found in llm params")
+
+    sd = {}
+    r = alpha = None
+    for name, ab in adapters.items():
+        a, b = np.asarray(ab["a"], np.float32), np.asarray(ab["b"],
+                                                           np.float32)
+        s = float(np.asarray(llm_params["layers"][name]["lora"]["s"]
+                             ).reshape(-1)[0])
+        r = a.shape[-1]
+        alpha = int(round(s * r))
+        for layer in range(a.shape[0]):
+            base = f"base_model.model.model.layers.{layer}.{_PEFT_NAME[name]}"
+            # peft layout: A [r, in], B [out, r] (ours: a [in, r], b [r, out])
+            sd[f"{base}.lora_A.weight"] = torch.tensor(a[layer].T)
+            sd[f"{base}.lora_B.weight"] = torch.tensor(b[layer].T)
+    torch.save(sd, os.path.join(directory, "adapter_model.bin"))
+
+    with open(os.path.join(directory, "adapter_config.json"), "w") as f:
+        json.dump({"peft_type": "LORA", "r": r, "lora_alpha": alpha,
+                   "lora_dropout": 0.0, "bias": "none",
+                   "target_modules": sorted(_PEFT_NAME[n].split(".")[-1]
+                                            for n in adapters)}, f, indent=2)
+
+    nl = _projector_state_dict(connector_params,
+                               "base_model.model.model.mm_projector.")
+    torch.save(nl, os.path.join(directory, "non_lora_trainables.bin"))
+
+    from .convert_hf import model_config_to_hf
+    with open(os.path.join(directory, "config.json"), "w") as f:
+        json.dump(model_config_to_hf(model_cfg), f, indent=2)

@@ -109,12 +109,18 @@ def apply_rope(q: jax.Array, k: jax.Array, cos: jax.Array,
 # ---------------------------------------------------------------------------
 
 def dense(x: jax.Array, p: dict) -> jax.Array:
-    """y = x @ kernel (+ bias). kernel: [in, out].
+    """y = x @ kernel (+ bias) (+ LoRA delta). kernel: [in, out].
 
     Accepts int8 weight-only packs ("kernel_q8": {"q", "scale"}) and
     dequantizes in-graph — inside a scanned layer body only one layer's bf16
     weights are ever materialized, so HBM holds the int8 copy (the
     bitsandbytes-parity serving configuration, ops/quant.py).
+
+    A "lora" entry ({"a": [in, r], "b": [r, out], "s": [1, 1]}) adds the
+    low-rank delta x@A@B*s per matmul — peft LoRA semantics
+    (reference train.py:465-481) without ever materializing the full-rank
+    delta; with kernel_q8 this is the QLoRA configuration (frozen int8 base
+    + trainable bf16 adapters, reference train.py:404-423).
     """
     if "kernel" in p:
         y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype))
@@ -129,6 +135,11 @@ def dense(x: jax.Array, p: dict) -> jax.Array:
             # prefill/training: compute-bound, the scale applies on output
             y = jnp.einsum("...i,io->...o", x, pack["q"].astype(x.dtype))
             y = y * pack["scale"][..., 0, :].astype(x.dtype)
+    if "lora" in p:
+        lo = p["lora"]
+        xa = jnp.einsum("...i,ir->...r", x, lo["a"].astype(x.dtype))
+        y = y + jnp.einsum("...r,ro->...o", xa, lo["b"].astype(x.dtype)) \
+            * lo["s"].astype(x.dtype)[..., 0, :]
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"].astype(x.dtype)
     return y

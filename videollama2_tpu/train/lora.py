@@ -53,6 +53,77 @@ def init_lora(rng: jax.Array, llm_params: Dict, cfg: LoraConfig,
     return out
 
 
+def inject_lora(rng: jax.Array, llm_params: Dict, cfg: LoraConfig,
+                dtype=jnp.float32) -> Dict:
+    """Attach trainable adapters INSIDE the layer param dicts.
+
+    Each target entry gains "lora": {"a": [L, in, r], "b": [L, r, out],
+    "s": [L, 1, 1]} which ops/layers.dense consumes as y += x@A@B*s — the
+    peft wrap of reference train.py:465-481 without materializing full-rank
+    deltas. Works over bf16 kernels AND int8 packs (QLoRA: frozen quantized
+    base, reference train.py:404-423). A ~ N(0, 1/r), B = 0 (delta starts
+    at zero); s = alpha/r replicated over L so the tree scans uniformly.
+    """
+    new_layers = dict(llm_params["layers"])
+    for name in cfg.targets:
+        entry = new_layers.get(name)
+        if entry is None:
+            continue
+        if "kernel" in entry:
+            L, d_in, d_out = entry["kernel"].shape
+        elif "kernel_q8" in entry:
+            L, d_in, d_out = entry["kernel_q8"]["q"].shape
+        else:
+            continue
+        rng, sub = jax.random.split(rng)
+        a = (jax.random.normal(sub, (L, d_in, cfg.r), jnp.float32)
+             / jnp.sqrt(cfg.r)).astype(dtype)
+        new_layers[name] = {**entry, "lora": {
+            "a": a,
+            "b": jnp.zeros((L, cfg.r, d_out), dtype),
+            "s": jnp.full((L, 1, 1), cfg.scaling, dtype),
+        }}
+    return {**llm_params, "layers": new_layers}
+
+
+def extract_lora(llm_params: Dict) -> Dict:
+    """Pull injected adapters back out into the separate-tree form."""
+    out: Dict = {"layers": {}}
+    for name, entry in llm_params["layers"].items():
+        if isinstance(entry, dict) and "lora" in entry:
+            out["layers"][name] = {k: entry["lora"][k] for k in ("a", "b")}
+    return out
+
+
+def strip_lora(llm_params: Dict) -> Dict:
+    """Remove injected adapters (leaving the frozen base)."""
+    new_layers = {}
+    for name, entry in llm_params["layers"].items():
+        if isinstance(entry, dict) and "lora" in entry:
+            entry = {k: v for k, v in entry.items() if k != "lora"}
+        new_layers[name] = entry
+    return {**llm_params, "layers": new_layers}
+
+
+def merge_lora_injected(llm_params: Dict) -> Dict:
+    """Fold injected adapters into the bf16 base kernels (export/serving).
+
+    Quantized bases keep their adapters unmerged (dense applies them at
+    runtime) — merging into int8 would lose the delta to quantization.
+    """
+    new_layers = {}
+    for name, entry in llm_params["layers"].items():
+        if isinstance(entry, dict) and "lora" in entry and "kernel" in entry:
+            lo = entry["lora"]
+            delta = jnp.einsum("lir,lro->lio", lo["a"].astype(jnp.float32),
+                               lo["b"].astype(jnp.float32)) * lo["s"]
+            entry = {k: v for k, v in entry.items() if k != "lora"}
+            entry["kernel"] = (entry["kernel"]
+                               + delta.astype(entry["kernel"].dtype))
+        new_layers[name] = entry
+    return {**llm_params, "layers": new_layers}
+
+
 def apply_lora(llm_params: Dict, lora: Dict, cfg: LoraConfig) -> Dict:
     """Return params with adapters folded in (for forward passes).
 

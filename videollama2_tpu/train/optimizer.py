@@ -15,6 +15,7 @@ from dataclasses import dataclass
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -32,6 +33,7 @@ class OptimizerConfig:
     max_grad_norm: float = 1.0
     tune_mm_mlp_adapter: bool = False  # pretrain: projector-only
     freeze_backbone: bool = False
+    lora_enable: bool = False          # train adapters only (+ projector)
 
 
 def _schedule(base_lr: float, cfg: OptimizerConfig):
@@ -55,17 +57,40 @@ def _decay_mask(params):
     return jax.tree.map(lambda p: p.ndim > 1, params)
 
 
-def param_labels(params):
-    """Label tree: 'frozen' (vision tower), 'projector' (connector),
-    'llm' (decoder)."""
-    def label(top_key):
-        if top_key == "vision":
+def param_labels(params, lora_enable: bool = False):
+    """Label tree: 'frozen' (vision tower + non-adapter LLM under LoRA),
+    'projector' (connector), 'llm' (decoder / adapters).
+
+    Under LoRA only the injected adapter a/b matrices train at the base LR
+    (the frozen-base peft semantics of reference train.py:465-481); the
+    alpha/r scale "s" and every integer quant leaf stay frozen.
+    """
+    def label(path, leaf):
+        keys = [str(getattr(p, "key", p)) for p in path]
+        if keys[0] == "vision":
             return "frozen"
-        if top_key == "connector":
+        if keys[0] == "connector":
             return "projector"
+        if jnp.issubdtype(leaf.dtype, jnp.integer):
+            return "frozen"              # int8/int4 quantized base weights
+        if lora_enable:
+            return ("llm" if "lora" in keys and keys[-1] in ("a", "b")
+                    else "frozen")
+        if "lora" in keys and keys[-1] == "s":
+            return "frozen"              # alpha/r constant
         return "llm"
-    return {k: jax.tree.map(lambda _: label(k), v)
-            for k, v in params.items()}
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def trainable_mask(params, cfg: OptimizerConfig):
+    """Bool pytree: True where gradients are needed. Mirrors the label tree
+    so the train step can skip (and jax.grad never touches) frozen leaves —
+    required for integer quantized bases, which cannot be differentiated."""
+    labels = param_labels(params, cfg.lora_enable)
+    frozen_llm = cfg.tune_mm_mlp_adapter or cfg.freeze_backbone
+    return jax.tree.map(
+        lambda lb: lb == "projector" or (lb == "llm" and not frozen_llm),
+        labels)
 
 
 def build_optimizer(params, cfg: OptimizerConfig):
@@ -86,5 +111,5 @@ def build_optimizer(params, cfg: OptimizerConfig):
         {"frozen": optax.set_to_zero(),
          "projector": adamw(proj_lr),
          "llm": llm_tx},
-        param_labels(params))
+        param_labels(params, cfg.lora_enable))
     return tx

@@ -36,7 +36,10 @@ def init_state(params, tx) -> TrainState:
 
 def _loss_fn(params, cfg: ModelConfig, batch: Batch, compute_dtype,
              attn_impl: str):
-    frames = batch.frames.astype(compute_dtype)
+    frames = batch.frames
+    if jnp.issubdtype(frames.dtype, jnp.floating):
+        frames = frames.astype(compute_dtype)
+    # uint8 frames pass through: encode_frames normalizes on device
     loss, metrics = vl2.forward_train(
         params, cfg, frames, batch.text_ids, batch.is_visual,
         batch.vis_index, batch.positions, batch.valid_len, batch.labels,
@@ -46,18 +49,46 @@ def _loss_fn(params, cfg: ModelConfig, batch: Batch, compute_dtype,
 
 def make_train_step(cfg: ModelConfig, tx, mesh: Optional[Mesh] = None,
                     compute_dtype=jnp.bfloat16, attn_impl: str = "auto",
-                    grad_accum: int = 1):
+                    grad_accum: int = 1, trainable: Any = None):
     """Build the jitted train step.
 
     Batch arrays arrive as [grad_accum * microbatch, ...]; when grad_accum>1
     the step scans over microbatches accumulating fp32 grads.
+
+    `trainable` (optional bool pytree over params) restricts differentiation
+    to the flagged leaves: jax.grad never sees the frozen ones, which (a)
+    lets XLA dead-code-eliminate their backward pass and (b) is REQUIRED for
+    QLoRA, whose int8 base weights cannot be cotangents
+    (optimizer.trainable_mask; reference train.py:404-481).
     """
+
+    def _grads(params, b):
+        if trainable is None:
+            return jax.value_and_grad(_loss_fn, has_aux=True)(
+                params, cfg, b, compute_dtype, attn_impl)
+        leaves, treedef = jax.tree.flatten(params)
+        flags = jax.tree.leaves(trainable)
+        t_leaves = [l for l, f in zip(leaves, flags) if f]
+
+        def loss_of(t_leaves):
+            it = iter(t_leaves)
+            full = [next(it) if f else l for l, f in zip(leaves, flags)]
+            return _loss_fn(jax.tree.unflatten(treedef, full), cfg, b,
+                            compute_dtype, attn_impl)
+
+        (loss, metrics), t_grads = jax.value_and_grad(
+            loss_of, has_aux=True)(t_leaves)
+        it = iter(t_grads)
+        # frozen leaves get SCALAR zero "grads" in the param dtype: optax
+        # set_to_zero ignores them, apply_updates stays dtype-stable (no
+        # f32 promotion of int8 bases), and no full-shape buffer exists
+        grads = [next(it) if f else jnp.zeros((), l.dtype)
+                 for l, f in zip(leaves, flags)]
+        return (loss, metrics), jax.tree.unflatten(treedef, grads)
 
     def step_fn(state: TrainState, batch: Batch):
         def compute(b):
-            (loss, metrics), grads = jax.value_and_grad(
-                _loss_fn, has_aux=True)(state.params, cfg, b, compute_dtype,
-                                        attn_impl)
+            (loss, metrics), grads = _grads(state.params, b)
             return loss, metrics, grads
 
         if grad_accum == 1:
@@ -75,15 +106,22 @@ def make_train_step(cfg: ModelConfig, tx, mesh: Optional[Mesh] = None,
 
             reshaped = jax.tree.map(
                 lambda a: a.reshape((grad_accum, -1) + a.shape[1:]), batch)
-            zero_grads = jax.tree.map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            if trainable is None:
+                zero_grads = jax.tree.map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            else:
+                zero_grads = jax.tree.map(
+                    lambda p, f: (jnp.zeros(p.shape, jnp.float32) if f
+                                  else jnp.zeros((), p.dtype)),
+                    state.params, trainable)
             zero_metrics = {"loss": jnp.zeros(()),
                             "num_tokens": jnp.zeros((), jnp.int32),
                             "accuracy": jnp.zeros(())}
             (grads, msum), _ = jax.lax.scan(micro,
                                             (zero_grads, zero_metrics),
                                             reshaped)
-            grads = jax.tree.map(lambda g: g / grad_accum, grads)
+            grads = jax.tree.map(
+                lambda g: g / grad_accum if g.ndim > 0 else g, grads)
             metrics = jax.tree.map(lambda m: m / grad_accum, msum)
             metrics["num_tokens"] = msum["num_tokens"]
 

@@ -123,6 +123,34 @@ def main():
 
     if args.num_frames:
         cfg = cfg.replace(num_frames=args.num_frames)
+
+    # QLoRA / quantized-base training (reference train.py:404-423): the LLM
+    # base is frozen in int8/int4 packs (ops/quant) and only adapters train.
+    if args.bits in (4, 8):
+        from ..ops import quant
+        params["llm"] = quant.quantize_llm_params(params["llm"],
+                                                  bits=args.bits)
+        if args.bits == 4:
+            # int4 storage; dense consumes int8 packs, so repack to q8 view
+            from ..ops import quant as q
+            layers = dict(params["llm"]["layers"])
+            for name, entry in layers.items():
+                if isinstance(entry, dict) and "kernel_q4" in entry:
+                    e = dict(entry)
+                    w = q.dequantize_int4(e.pop("kernel_q4"))
+                    e["kernel_q8"] = q.quantize_int8(w, axis=-2)
+                    layers[name] = e
+            params["llm"]["layers"] = layers
+
+    # LoRA (reference train.py:465-481): inject per-matmul adapters
+    if args.lora_enable:
+        import jax as _jax
+        from . import lora as lora_lib
+        lcfg = lora_lib.LoraConfig(r=args.lora_r, alpha=args.lora_alpha,
+                                   dropout=args.lora_dropout)
+        params["llm"] = lora_lib.inject_lora(
+            _jax.random.PRNGKey(args.seed), params["llm"], lcfg)
+
     if args.pretrain_mm_mlp_adapter:
         # load pretrain-stage projector (videollama2_arch.py:77-96)
         if os.path.exists(os.path.join(args.pretrain_mm_mlp_adapter,
@@ -154,7 +182,8 @@ def main():
         weight_decay=args.weight_decay, warmup_ratio=args.warmup_ratio,
         schedule=args.lr_scheduler_type,
         tune_mm_mlp_adapter=args.tune_mm_mlp_adapter,
-        freeze_backbone=args.freeze_backbone)
+        freeze_backbone=args.freeze_backbone,
+        lora_enable=args.lora_enable)
     tcfg = TrainerConfig(
         output_dir=args.output_dir,
         per_device_batch_size=args.per_device_train_batch_size,

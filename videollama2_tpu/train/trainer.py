@@ -69,13 +69,15 @@ class Trainer:
         self.tx = opt_lib.build_optimizer(params, opt_cfg)
 
         dtype = getattr(jnp, trainer_cfg.compute_dtype)
+        trainable = opt_lib.trainable_mask(params, opt_cfg)
         with self.mesh:
             self.state = step_lib.init_sharded_state(
                 self.mesh, params, self.tx,
                 is_moe=model_cfg.llm.is_moe)
             self.step_fn = step_lib.make_train_step(
                 model_cfg, self.tx, mesh=self.mesh, compute_dtype=dtype,
-                grad_accum=trainer_cfg.gradient_accumulation_steps)
+                grad_accum=trainer_cfg.gradient_accumulation_steps,
+                trainable=trainable)
 
         # auto-resume (train.py:554-557)
         ckpt_dir = os.path.join(trainer_cfg.output_dir, "checkpoints")
@@ -147,5 +149,14 @@ class Trainer:
             orbax_io.save_projector_only(
                 os.path.join(self.cfg.output_dir, f"adapter-{step}"),
                 jax.device_get(self.state.params["connector"]))
+        if self.opt_cfg.lora_enable:
+            # LoRA split save: peft-format adapters + non-LoRA trainables
+            # (videollama2_trainer.py:343-361; train.py:562-568), readable
+            # back by convert_hf.load_videollama2 path (a)
+            orbax_io.export_lora_split(
+                os.path.join(self.cfg.output_dir, f"lora-{step}"),
+                jax.device_get(self.state.params["llm"]),
+                jax.device_get(self.state.params["connector"]),
+                self.model_cfg)
         orbax_io.save_train_state(ckpt_dir, step, self.state)
         print(f"saved checkpoint at step {step}")
