@@ -118,3 +118,38 @@ def test_video_reader_synthetic_mp4():
         os.remove(gif)
         out2 = video_reader.read_video_frames(d, num_frames=4)
         assert len(out2) == 4
+
+
+def test_uint8_path_matches_float_path():
+    """Production uint8 processors + on-device normalize == float path.
+
+    preprocess_frames(out_dtype='uint8') returns the exact resize output the
+    float path normalizes, and encode_frames' uint8 branch applies the same
+    (x/255 - mean)/std on device (VERDICT r1 #5: ship uint8 e2e)."""
+    import jax
+    import jax.numpy as jnp
+    from videollama2_tpu.core import config as cfglib
+    from videollama2_tpu.media.preprocess import preprocess_frames
+    from videollama2_tpu.models import videollama2 as vl2
+
+    rng = np.random.default_rng(3)
+    cfg = cfglib.tiny_model()
+    frames = [Image.fromarray(rng.integers(0, 255, (70, 90, 3),
+                                           dtype=np.uint8))
+              for _ in range(cfg.num_frames)]
+    f32 = preprocess_frames(frames, cfg.vision, "pad")
+    u8 = preprocess_frames(frames, cfg.vision, "pad", out_dtype="uint8")
+    assert u8.dtype == np.uint8 and f32.dtype == np.float32
+    mean = np.asarray(cfg.vision.image_mean, np.float32)
+    std = np.asarray(cfg.vision.image_std, np.float32)
+    np.testing.assert_allclose((u8.astype(np.float32) / 255 - mean) / std,
+                               f32, atol=1e-6)
+
+    params = vl2.init_params(jax.random.PRNGKey(0), cfg)
+    tok_f = vl2.encode_frames(params, cfg, jnp.asarray(f32)[None],
+                              attn_impl="xla")
+    tok_u = vl2.encode_frames(params, cfg, jnp.asarray(u8)[None],
+                              attn_impl="xla")
+    # uint8 branch normalizes in bf16 on device; tolerance covers the cast
+    np.testing.assert_allclose(np.asarray(tok_u), np.asarray(tok_f),
+                               atol=5e-2, rtol=5e-2)

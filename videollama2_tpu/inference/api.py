@@ -69,11 +69,15 @@ def model_init(model_path: Optional[str] = None, dtype=None,
         tokenizer.pad_token = tokenizer.unk_token
 
     num_frames = cfg.num_frames if cfg.num_frames else NUM_FRAMES
+    # production processors emit resized uint8; normalization fuses into the
+    # tower's first conv on device (encode_frames) — 4x less host->HBM
+    # traffic, numerically identical (preprocess.py out_dtype docs)
     processor = {
         "image": functools.partial(process_image, cfg=cfg.vision,
-                                   aspect_ratio=None),
+                                   aspect_ratio=None, out_dtype="uint8"),
         "video": functools.partial(process_video, cfg=cfg.vision,
-                                   aspect_ratio=None, num_frames=num_frames),
+                                   aspect_ratio=None, num_frames=num_frames,
+                                   out_dtype="uint8"),
     }
     if cfg.audio is not None:
         processor["audio"] = functools.partial(_prep_audio, cfg=cfg)
@@ -105,7 +109,9 @@ def mm_infer(image_or_video, instruct, model: VideoLLaMA2, tokenizer,
     if modal == "audio":
         audio = _prep_audio(image_or_video, cfg)
     elif modal != "text":
-        arr = np.asarray(image_or_video, dtype=np.float32)
+        arr = np.asarray(image_or_video)
+        if arr.dtype != np.uint8:  # uint8 rides through; normalize on device
+            arr = arr.astype(np.float32)
         T = cfg.num_frames
         if modal == "image":
             # expand image to num_frames identical frames

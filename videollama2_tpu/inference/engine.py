@@ -297,8 +297,10 @@ class Engine:
                                     jnp.asarray(audio, self.dtype),
                                     *plan_args, cache)
         elif mode == "av":
-            logits, cache = prefill(self.params,
-                                    jnp.asarray(frames, self.dtype),
+            fr = np.asarray(frames)
+            fr = (jnp.asarray(fr) if fr.dtype == np.uint8
+                  else jnp.asarray(fr, self.dtype))
+            logits, cache = prefill(self.params, fr,
                                     jnp.asarray(audio, self.dtype),
                                     *plan_args, cache)
         else:

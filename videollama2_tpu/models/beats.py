@@ -15,7 +15,7 @@ encoder. Rebuilt here from the public BEATs architecture
 Checkpoint conversion for the HF AV release maps 1:1 onto this param tree
 (checkpoint/convert_hf.py grows the audio branch when the AV config is
 present); numerical parity against the torch BEATs is validated by
-tests/test_beats.py's torch replica of the same architecture.
+tests/test_beats_parity.py's torch replica of the same architecture.
 """
 
 from __future__ import annotations
