@@ -73,8 +73,18 @@ def _load_reference_conversation():
 
 @pytest.mark.skipif(not os.path.exists(REF_CONV),
                     reason="reference not mounted")
-@pytest.mark.parametrize("name", ["mistral", "qwen", "llama2", "plain",
-                                  "v1", "llava_v0", "qwen_plain"])
+def test_registry_keys_match_reference():
+    """All 15 reference registry keys exist (conversation.py:480-503)."""
+    ref_ns = _load_reference_conversation()
+    assert set(conv_templates) == set(ref_ns["conv_templates"])
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CONV),
+                    reason="reference not mounted")
+@pytest.mark.parametrize("name", ["default", "plain", "v0", "v0_plain",
+                                  "v0_mmtag", "llava_v0", "v1", "v1_mmtag",
+                                  "llava_v1", "vicuna_v1", "llava_llama2",
+                                  "llama2", "mistral", "qwen", "qwen_plain"])
 def test_get_prompt_parity(name):
     ref_ns = _load_reference_conversation()
     ref_conv = ref_ns["conv_templates"][name].copy()
@@ -84,6 +94,17 @@ def test_get_prompt_parity(name):
     for text, role in msgs:
         ref_conv.append_message(ref_conv.roles[role], text)
         conv.append_message(conv.roles[role], text)
+    assert conv.get_prompt() == ref_conv.get_prompt()
+
+    # tuple-form first message exercises the mmtag <Image> wrap path
+    # (conversation.py:34-49)
+    ref_conv = ref_ns["conv_templates"][name].copy()
+    conv = conv_templates[name].copy()
+    first = ("<image>\nDescribe.", None, None)
+    ref_conv.append_message(ref_conv.roles[0], first)
+    conv.append_message(conv.roles[0], first)
+    ref_conv.append_message(ref_conv.roles[1], "It is a cat.")
+    conv.append_message(conv.roles[1], "It is a cat.")
     assert conv.get_prompt() == ref_conv.get_prompt()
 
 

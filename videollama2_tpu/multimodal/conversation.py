@@ -3,7 +3,8 @@
 Parity: reference videollama2/conversation.py:11-503 — a prompt-format state
 machine with five separator styles and a registry of named templates. Prompt
 strings produced by `get_prompt` are byte-identical to the reference for each
-registered template (covered by tests/test_conversation.py golden strings).
+registered template (tests/test_multimodal.py execs the reference source and
+compares across the full registry).
 
 Only the prompt logic lives here; gradio-specific image helpers live in
 `serve/`.
@@ -140,7 +141,40 @@ conv_vicuna_v0 = _conv(
     system="A chat between a curious human and an artificial intelligence "
            "assistant. The assistant gives helpful, detailed, and polite "
            "answers to the human's questions.",
-    roles=("Human", "Assistant"), sep_style=SeparatorStyle.SINGLE, sep="###")
+    roles=("Human", "Assistant"), sep_style=SeparatorStyle.SINGLE, sep="###",
+    # seeded one-shot example (reference conversation.py conv_vicuna_v0
+    # messages, offset=2) — part of the emitted prompt for v0/default
+    messages=[
+        ["Human", "What are the key differences between renewable and "
+                  "non-renewable energy sources?"],
+        ["Assistant",
+         "Renewable energy sources are those that can be replenished "
+         "naturally in a relatively short amount of time, such as solar, "
+         "wind, hydro, geothermal, and biomass. Non-renewable energy "
+         "sources, on the other hand, are finite and will eventually be "
+         "depleted, such as coal, oil, and natural gas. Here are some key "
+         "differences between renewable and non-renewable energy sources:\n"
+         "1. Availability: Renewable energy sources are virtually "
+         "inexhaustible, while non-renewable energy sources are finite and "
+         "will eventually run out.\n"
+         "2. Environmental impact: Renewable energy sources have a much "
+         "lower environmental impact than non-renewable sources, which can "
+         "lead to air and water pollution, greenhouse gas emissions, and "
+         "other negative effects.\n"
+         "3. Cost: Renewable energy sources can be more expensive to "
+         "initially set up, but they typically have lower operational "
+         "costs than non-renewable sources.\n"
+         "4. Reliability: Renewable energy sources are often more reliable "
+         "and can be used in more remote locations than non-renewable "
+         "sources.\n"
+         "5. Flexibility: Renewable energy sources are often more flexible "
+         "and can be adapted to different situations and needs, while "
+         "non-renewable sources are more rigid and inflexible.\n"
+         "6. Sustainability: Renewable energy sources are more sustainable "
+         "over the long term, while non-renewable sources are not, and "
+         "their depletion can lead to economic and social instability.\n"],
+    ],
+    offset=2)
 
 conv_llava_plain = _conv(system="", roles=("", ""),
                          sep_style=SeparatorStyle.PLAIN, sep="", sep2="\n")
@@ -148,6 +182,22 @@ conv_llava_plain = _conv(system="", roles=("", ""),
 conv_llava_v0 = _conv(
     system=conv_vicuna_v0.system, roles=("Human", "Assistant"),
     sep_style=SeparatorStyle.SINGLE, sep="###")
+
+_MMTAG_SYSTEM = (
+    "A chat between a curious user and an artificial intelligence assistant. "
+    "The assistant is able to understand the visual content that the user "
+    "provides, and assist the user with a variety of tasks using natural "
+    "language."
+    "The visual content will be provided with the following format: "
+    "<Image>visual content</Image>.")
+
+conv_llava_v0_mmtag = _conv(
+    system=_MMTAG_SYSTEM, roles=("Human", "Assistant"),
+    sep_style=SeparatorStyle.SINGLE, sep="###", version="v0_mmtag")
+
+conv_llava_v1_mmtag = _conv(
+    system=_MMTAG_SYSTEM, roles=("USER", "ASSISTANT"),
+    sep_style=SeparatorStyle.TWO, sep=" ", sep2="</s>", version="v1_mmtag")
 
 conv_vicuna_v1 = _conv(
     system="A chat between a curious user and an artificial intelligence "
@@ -198,8 +248,10 @@ conv_templates = {
     "plain": conv_llava_plain,
     "v0": conv_vicuna_v0,
     "v0_plain": conv_llava_plain,
+    "v0_mmtag": conv_llava_v0_mmtag,
     "llava_v0": conv_llava_v0,
     "v1": conv_vicuna_v1,
+    "v1_mmtag": conv_llava_v1_mmtag,
     "llava_v1": conv_llava_v1,
     "vicuna_v1": conv_vicuna_v1,
     "llava_llama2": conv_llava_llama2,
