@@ -1,0 +1,27 @@
+#!/bin/bash
+# MSVD-QA: same driver as ActivityNet-QA over the MSVD folders + GPT judge.
+# Parity: reference scripts/eval/eval_video_oqa_msvd.sh.
+CKPT=${CKPT:-DAMO-NLP-SG/VideoLLaMA2-7B}
+EVAL_DATA_DIR=${EVAL_DATA_DIR:-eval}
+OUTPUT_DIR=${OUTPUT_DIR:-eval_output}
+CKPT_NAME=$(basename ${CKPT})
+CHUNKS=${CHUNKS:-1}
+out=${OUTPUT_DIR}/msvd/answers/${CKPT_NAME}
+for IDX in $(seq 0 $((CHUNKS-1))); do
+    python -m videollama2_tpu.eval.inference_video_oqa_activitynet \
+        --model-path ${CKPT} \
+        --video-folder ${EVAL_DATA_DIR}/MSVD_Zero_Shot_QA/videos \
+        --question-file ${EVAL_DATA_DIR}/MSVD_Zero_Shot_QA/test_q.json \
+        --gt-file ${EVAL_DATA_DIR}/MSVD_Zero_Shot_QA/test_a.json \
+        --answer-file ${out}/${CHUNKS}_${IDX}.jsonl \
+        --num-chunks $CHUNKS --chunk-idx $IDX &
+done
+wait
+python - <<PYEOF
+from videollama2_tpu.eval.common import merge_chunks
+import glob
+merge_chunks(sorted(glob.glob("${out}/${CHUNKS}_*.jsonl")), "${out}/merge.json")
+PYEOF
+python -m videollama2_tpu.eval.gpt_judge --dimension activitynet \
+    --pred-file ${out}/merge.json --output-dir ${out}/judge \
+    --output-json ${out}/results.json ${JUDGE_ARGS:---api none}

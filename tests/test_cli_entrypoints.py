@@ -28,6 +28,21 @@ MODULES = [
 ]
 
 
+def test_all_launch_scripts_parse():
+    """bash -n syntax-checks every launch script (scripts/{vllava,custom,
+    eval}/*.sh — the reference's ~20-script surface)."""
+    import glob
+    import os
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts")
+    shs = sorted(glob.glob(os.path.join(root, "*", "*.sh")))
+    assert len(shs) >= 17, shs  # 12 eval + 3 custom + 2 vllava
+    for sh in shs:
+        out = subprocess.run(["bash", "-n", sh], capture_output=True,
+                             text=True)
+        assert out.returncode == 0, (sh, out.stderr)
+
+
 @pytest.mark.parametrize("module", MODULES)
 def test_help(module):
     out = subprocess.run(

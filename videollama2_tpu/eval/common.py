@@ -88,9 +88,12 @@ class ResultWriter:
         self._f.close()
 
 
-def merge_chunks(pattern_paths: Iterable[str], out_path: str) -> int:
+def merge_chunks(pattern_paths: Iterable[str], out_path: str,
+                 return_records: bool = False):
     """Merge per-chunk JSON/JSONL files into one JSON array (the bash merge
-    step of scripts/eval/*.sh)."""
+    step of scripts/eval/*.sh). Returns the record count, or the records
+    themselves with return_records=True (for post-merge format converters,
+    e.g. the EgoSchema Kaggle CSV)."""
     records = []
     for p in pattern_paths:
         with open(p) as f:
@@ -104,7 +107,7 @@ def merge_chunks(pattern_paths: Iterable[str], out_path: str) -> int:
                     records.append(json.loads(line))
     with open(out_path, "w") as f:
         json.dump(records, f)
-    return len(records)
+    return records if return_records else len(records)
 
 
 def run_inference_loop(items: Sequence[dict],
