@@ -102,8 +102,8 @@ def forward_train(params: dict, cfg: ModelConfig, frames: jax.Array,
                   text_ids: jax.Array, is_visual: jax.Array,
                   vis_index: jax.Array, positions: jax.Array,
                   valid_len: jax.Array, labels: jax.Array,
-                  attn_impl: str = "auto", remat: bool = True
-                  ) -> Tuple[jax.Array, dict]:
+                  attn_impl: str = "auto", remat: bool = True,
+                  constrain_fn=None) -> Tuple[jax.Array, dict]:
     """Training forward: returns (mean masked CE loss, metrics).
 
     frames: [B, T, H, W, 3] (zeros slot for text-only samples); the splice
@@ -111,12 +111,21 @@ def forward_train(params: dict, cfg: ModelConfig, frames: jax.Array,
     multimodal.splice.plan_batch. Labels use IGNORE_INDEX for unsupervised
     positions; loss is next-token CE over supervised positions (HF causal-LM
     shift semantics).
+
+    constrain_fn (optional): batch-sharding annotator applied to the big
+    intermediates (visual tokens, spliced embeddings). Without it, GSPMD
+    re-derived a conflicting sharding for the splice where's backward and
+    fell back to an involuntary full rematerialization (replicate + reshard).
     """
     from ..constants import IGNORE_INDEX
 
     vis_tokens = encode_frames(params, cfg, frames, attn_impl=attn_impl)
+    if constrain_fn is not None:
+        vis_tokens = constrain_fn(vis_tokens)
     embeds = splice_lib.compose(params["llm"]["embed"]["weight"], vis_tokens,
                                 text_ids, is_visual, vis_index)
+    if constrain_fn is not None:
+        embeds = constrain_fn(embeds)
     hidden, _ = llm_lib.forward(params["llm"], cfg.llm, embeds, positions,
                                 valid_len, attn_impl=attn_impl, remat=remat)
     logits = llm_lib.lm_logits(params["llm"], cfg.llm, hidden)  # [B,S,V] f32

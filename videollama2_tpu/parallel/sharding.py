@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # "llm/layers/q/kernel". First match wins.
 PARAM_RULES: Tuple[Tuple[str, P], ...] = (
     # LLM
-    (r"llm/embed/weight$", P("tensor", "fsdp")),
+    (r"llm/embed/weight$", P(None, ("fsdp", "tensor"))),
     (r"llm/lm_head/kernel$", P("fsdp", "tensor")),
     (r"llm/layers/(q|k|v)/kernel$", P(None, "fsdp", "tensor")),
     (r"llm/layers/(q|k|v)/bias$", P(None, "tensor")),

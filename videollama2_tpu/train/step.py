@@ -35,7 +35,7 @@ def init_state(params, tx) -> TrainState:
 
 
 def _loss_fn(params, cfg: ModelConfig, batch: Batch, compute_dtype,
-             attn_impl: str):
+             attn_impl: str, constrain_fn=None):
     frames = batch.frames
     if jnp.issubdtype(frames.dtype, jnp.floating):
         frames = frames.astype(compute_dtype)
@@ -43,7 +43,7 @@ def _loss_fn(params, cfg: ModelConfig, batch: Batch, compute_dtype,
     loss, metrics = vl2.forward_train(
         params, cfg, frames, batch.text_ids, batch.is_visual,
         batch.vis_index, batch.positions, batch.valid_len, batch.labels,
-        attn_impl=attn_impl, remat=True)
+        attn_impl=attn_impl, remat=True, constrain_fn=constrain_fn)
     return loss, metrics
 
 
@@ -62,10 +62,12 @@ def make_train_step(cfg: ModelConfig, tx, mesh: Optional[Mesh] = None,
     (optimizer.trainable_mask; reference train.py:404-481).
     """
 
+    constrain_fn = sh.constrain_batch if mesh is not None else None
+
     def _grads(params, b):
         if trainable is None:
             return jax.value_and_grad(_loss_fn, has_aux=True)(
-                params, cfg, b, compute_dtype, attn_impl)
+                params, cfg, b, compute_dtype, attn_impl, constrain_fn)
         leaves, treedef = jax.tree.flatten(params)
         flags = jax.tree.leaves(trainable)
         t_leaves = [l for l, f in zip(leaves, flags) if f]
@@ -74,7 +76,7 @@ def make_train_step(cfg: ModelConfig, tx, mesh: Optional[Mesh] = None,
             it = iter(t_leaves)
             full = [next(it) if f else l for l, f in zip(leaves, flags)]
             return _loss_fn(jax.tree.unflatten(treedef, full), cfg, b,
-                            compute_dtype, attn_impl)
+                            compute_dtype, attn_impl, constrain_fn)
 
         (loss, metrics), t_grads = jax.value_and_grad(
             loss_of, has_aux=True)(t_leaves)
