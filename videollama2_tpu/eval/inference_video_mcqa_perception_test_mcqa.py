@@ -38,7 +38,10 @@ def main():
     def infer(item):
         vid = item["vid"]
         video_path = os.path.join(args.video_folder, f"{vid}.mp4")
-        tensor = processor["video"](video_path)
+        try:
+            tensor = processor["video"](video_path)
+        except Exception:
+            tensor = None  # missing/corrupt video: every answer degrades
         answers = []
         for q in data[vid].get("mc_question", []):
             options = q["options"]
@@ -49,6 +52,8 @@ def main():
                                 for l, o in zip(LETTERS, options)) +
                       "\nOnly give the best option.")
             try:
+                if tensor is None:
+                    raise ValueError("video unavailable")
                 resp = mm_infer(tensor, prompt, model, tokenizer,
                                 modal="video", max_new_tokens=64)
                 letter = extract_choice_letter(resp, options, letters=LETTERS)

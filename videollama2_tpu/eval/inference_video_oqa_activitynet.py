@@ -13,7 +13,7 @@ import os
 
 from .common import ResultWriter, get_chunk, run_inference_loop
 
-VIDEO_EXTS = (".mp4", ".webm", ".avi", ".mov", ".mkv")
+VIDEO_EXTS = (".mp4", ".webm", ".avi", ".mov", ".mkv", ".gif")
 
 
 def resolve_video(folder: str, name: str):
