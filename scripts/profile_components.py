@@ -1,5 +1,10 @@
 """Per-component timing on the real chip: ViT encode, connector, prefill,
-decode chunk. Identifies the wall-clock distribution behind bench.py."""
+decode chunk. Identifies the wall-clock distribution behind bench.py.
+
+Sync methodology: on the axon remote tunnel `jax.block_until_ready` returns
+before execution finishes; only a device->host readback is a real sync, and
+per-dispatch overhead is ~2 ms (docs/DESIGN.md "Measurement methodology").
+"""
 
 import os
 import sys
@@ -10,13 +15,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def timeit(fn, *args, iters=3, warmup=1):
+def _sync(out):
     import jax
+    np.asarray(jax.tree.leaves(out)[0].ravel()[:8])
+
+
+def timeit(fn, *args, iters=3, warmup=1):
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
     t0 = time.time()
     for _ in range(iters):
-        out = jax.block_until_ready(fn(*args))
+        out = fn(*args)
+    _sync(out)
     return (time.time() - t0) / iters
 
 
@@ -32,7 +42,6 @@ def main():
     from videollama2_tpu.models import connector as conn_lib
     from videollama2_tpu.models import llm as llm_lib
     from videollama2_tpu.models import vit as vit_lib
-    from videollama2_tpu.ops import quant
 
     cfg = cfglib.preset("videollama2_mistral").replace(num_frames=16)
     B, T = 8, 16
@@ -61,7 +70,7 @@ def main():
                                  + 2 * 577 * 577 * 1024 * 2
                                  + 2 * 577 * 1024 * 4096 * 2)
     print(f"ViT encode {N_FRAMES}f: {t_vit*1e3:.1f} ms "
-          f"({flops_vit/t_vit/1e12:.1f} TF/s)")
+          f"({flops_vit/t_vit/1e12:.1f} TF/s)", flush=True)
 
     # ---- STC connector
     with jax.default_device(cpu):
@@ -80,7 +89,7 @@ def main():
         t.delete()
     del vparams, cparams, feats
 
-    # ---- LLM prefill 2048 (int8 weights), flash vs xla
+    # ---- LLM prefill 2048 (int8 weights), Pallas flash attention
     with jax.default_device(cpu):
         lshape = jax.eval_shape(lambda: llm_lib.init_params(
             jax.random.PRNGKey(0), cfg.llm, jnp.bfloat16))
@@ -112,34 +121,40 @@ def main():
               flush=True)
     del embeds
 
-    # ---- decode chunk of 32
-    cache = llm_lib.init_cache(cfg.llm, B, 2048, jnp.bfloat16)
-    cache_len = jnp.full((B,), 1500)
+    # ---- decode chunk of 32 (engine cache layout: bucket + step rows)
+    M = 2048 + 32
+    bucket = 2048
+    cache = llm_lib.init_cache(cfg.llm, B, M, jnp.bfloat16)
+    valid_len = jnp.full((B,), bucket - 100)
 
-    def chunk(p, tok, cache, cache_len):
-        def step(carry, _):
-            tok, cache, cl = carry
+    def chunk(p, tok, cache, valid_len):
+        def step(carry, xs):
+            tok, cache = carry
             te = llm_lib.embed_tokens(p, tok[:, None], dtype=jnp.bfloat16)
-            logits, cache = llm_lib.decode_step(p, cfg.llm, te, cache, cl)
+            logits, cache = llm_lib.decode_step(p, cfg.llm, te, cache,
+                                                valid_len, bucket, xs)
             nxt = jnp.argmax(logits, -1).astype(jnp.int32)
-            return (nxt, cache, cl + 1), None
+            return (nxt, cache), None
 
-        (tok, cache, cache_len), _ = jax.lax.scan(
-            step, (tok, cache, cache_len), None, length=32)
+        (tok, cache), _ = jax.lax.scan(
+            step, (tok, cache), jnp.arange(32, dtype=jnp.int32))
         return tok, cache
 
     fn = jax.jit(chunk, donate_argnums=(2,))
     tok = jnp.zeros((B,), jnp.int32)
-    # manual warm + time (cache donation needs fresh buffers per call)
-    out = jax.block_until_ready(fn(lparams, tok, cache, cache_len))
-    tok2, cache = out
+    tok_o, cache = fn(lparams, tok, cache, valid_len)
+    np.asarray(tok_o)
+    iters = 4
     t0 = time.time()
-    out = jax.block_until_ready(fn(lparams, tok, cache, cache_len))
-    t_dec = time.time() - t0
+    for _ in range(iters):
+        tok_o, cache = fn(lparams, tok_o, cache, valid_len)
+    np.asarray(tok_o)
+    t_dec = (time.time() - t0) / iters
     per_tok = t_dec / 32
     bw = 7.1e9 / per_tok  # int8 weights read per token
     print(f"decode chunk 32 (B={B}): {t_dec*1e3:.1f} ms "
-          f"({per_tok*1e3:.2f} ms/tok, weight-stream {bw/1e9:.0f} GB/s)")
+          f"({per_tok*1e3:.2f} ms/tok, weight-stream {bw/1e9:.0f} GB/s)",
+          flush=True)
 
 
 if __name__ == "__main__":
