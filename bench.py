@@ -123,10 +123,14 @@ def _run(quantize_llm: bool):
     print(f"[bench] warmup done in {time.time() - t0:.1f}s",
           file=sys.stderr, flush=True)
 
+    # distinct frames per iteration: guards against any execution-level
+    # result caching between host and device (identical input buffers)
     iters = 4 if on_tpu else 1
+    frame_sets = [rng.integers(0, 255, (BATCH, T, H, H, 3), dtype=np.uint8)
+                  for _ in range(iters)]
     t0 = time.time()
-    for _ in range(iters):
-        eng.generate([prompt] * BATCH, frames=frames, gen=gen,
+    for i in range(iters):
+        eng.generate([prompt] * BATCH, frames=frame_sets[i], gen=gen,
                      eos_token_id=-1)
     dt = (time.time() - t0) / iters
     videos_per_sec = BATCH / dt
