@@ -128,6 +128,30 @@ def _run(quantize_llm: bool):
     iters = 4 if on_tpu else 1
     frame_sets = [rng.integers(0, 255, (BATCH, T, H, H, 3), dtype=np.uint8)
                   for _ in range(iters)]
+
+    if os.environ.get("BENCH_BREAKDOWN"):
+        # stage attribution (stderr): host->device transfer, prefill(+encode)
+        # to first token, decode chunk — each bounded by a device readback
+        fr = frame_sets[0]
+        t0 = time.time()
+        dev_frames = jax.device_put(fr)
+        np.asarray(dev_frames.ravel()[:8])
+        print(f"[bench] transfer {fr.nbytes/1e6:.0f} MB: "
+              f"{time.time()-t0:.3f}s", file=sys.stderr, flush=True)
+        stamps = {}
+
+        def cb(b, toks):
+            stamps.setdefault(len(toks), time.time())
+        t0 = time.time()
+        eng.generate([prompt] * BATCH, frames=fr, gen=gen, eos_token_id=-1,
+                     stream_cb=cb)
+        t_end = time.time()
+        t_first = min(stamps.values())
+        print(f"[bench] encode+prefill+first-token: {t_first-t0:.3f}s; "
+              f"decode rest: {t_end-t_first:.3f}s "
+              f"({(t_end-t_first)/max(DECODE_TOKENS-1,1)*1e3:.1f} ms/tok); "
+              f"total {t_end-t0:.3f}s", file=sys.stderr, flush=True)
+
     t0 = time.time()
     for i in range(iters):
         eng.generate([prompt] * BATCH, frames=frame_sets[i], gen=gen,

@@ -114,3 +114,46 @@ def test_sliding_window_decode_masks_old_tokens():
     assert np.abs(np.asarray(lo_full_a) - np.asarray(lo_full_b)).max() > 1e-4
     np.testing.assert_allclose(np.asarray(lo_win_a), np.asarray(lo_win_b),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_decode_attention_kernel_non_pow2_blocks():
+    """decode_attention_layered with a non-power-of-two M (the engine's
+    M = bucket + budget, e.g. 2080): the kernel must pick a dividing block
+    (M=80, block_m=32 -> bm=20) and match a dense masked softmax over the
+    cache + the new token."""
+    rng = np.random.default_rng(8)
+    from videollama2_tpu.ops.decode_attention import decode_attention_layered
+
+    B, H, K, hd, L, M = 2, 4, 2, 16, 3, 80
+    li, prompt_len, step = 1, 48, 2
+    write_pos = prompt_len + step
+    q = jnp.asarray(rng.standard_normal((B, H, hd)), jnp.float32)
+    k_new = jnp.asarray(rng.standard_normal((B, K, hd)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((B, K, hd)), jnp.float32)
+    ck = jnp.asarray(rng.standard_normal((L, B, M, K, hd)), jnp.float32)
+    cv = jnp.asarray(rng.standard_normal((L, B, M, K, hd)), jnp.float32)
+    valid = jnp.asarray([17, 40])
+
+    got = decode_attention_layered(q, k_new, v_new, ck, cv, jnp.int32(li),
+                                   valid, jnp.int32(write_pos), prompt_len,
+                                   block_m=32)
+
+    # reference: dense softmax over [cache rows, new token]
+    G = H // K
+    for b in range(B):
+        cols = np.arange(M)
+        keep = (cols < int(valid[b])) | ((cols >= prompt_len)
+                                         & (cols < write_pos))
+        for h in range(H):
+            kv = h // G
+            keys = np.concatenate([np.asarray(ck[li, b, :, kv]),
+                                   np.asarray(k_new[b, kv])[None]], 0)
+            vals = np.concatenate([np.asarray(cv[li, b, :, kv]),
+                                   np.asarray(v_new[b, kv])[None]], 0)
+            s = keys @ np.asarray(q[b, h]) * hd ** -0.5
+            s[:-1][~keep] = -1e30
+            p = np.exp(s - s.max())
+            p /= p.sum()
+            want = p @ vals
+            np.testing.assert_allclose(np.asarray(got[b, h]), want,
+                                       rtol=2e-5, atol=2e-5)

@@ -153,3 +153,35 @@ def test_uint8_path_matches_float_path():
     # uint8 branch normalizes in bf16 on device; tolerance covers the cast
     np.testing.assert_allclose(np.asarray(tok_u), np.asarray(tok_f),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_photo_grid_parity_with_reference():
+    """create_photo_grid == the reference's (exec'd from source) for square,
+    non-square, and explicit-rows cases (mm_utils.py:41-88)."""
+    import math
+    ref_path = "/root/reference/videollama2/mm_utils.py"
+    if not os.path.exists(ref_path):
+        import pytest
+        pytest.skip("reference not mounted")
+    import re
+    src = open(ref_path).read()
+    m = re.search(r"def create_photo_grid.*?\n(?=def )", src, re.S)
+    ns = {"np": np, "math": math, "Image": Image}
+    exec(compile(m.group(0), ref_path, "exec"), ns)  # noqa: S102
+    ref_fn = ns["create_photo_grid"]
+
+    from videollama2_tpu.media.preprocess import create_photo_grid
+    rng = np.random.default_rng(0)
+    for t in (1, 2, 3, 4, 7, 8, 9, 16):
+        arr = rng.integers(0, 255, (t, 6, 5, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(create_photo_grid(arr.copy()),
+                                      ref_fn(arr.copy()))
+    arr = rng.integers(0, 255, (5, 4, 4, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(create_photo_grid(arr, rows=2),
+                                  ref_fn(arr, rows=2))
+    np.testing.assert_array_equal(create_photo_grid(arr, cols=4),
+                                  ref_fn(arr, cols=4))
+    # list-of-frames input
+    frames = [arr[i] for i in range(5)]
+    np.testing.assert_array_equal(create_photo_grid(frames),
+                                  ref_fn(list(frames)))

@@ -90,3 +90,28 @@ def test_dense_w8a8_accuracy():
     rel = np.abs(got - ref).max() / np.abs(ref).max()
     assert rel < 0.03, rel
     assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.999
+
+
+def test_int4_dense_in_graph():
+    """dense() consumes stripped {q4, scale} packs in-graph (QLoRA base):
+    output must match explicit dequantization, including under jit+scan."""
+    import jax
+    from videollama2_tpu.core import config as cfglib
+    from videollama2_tpu.models import llm as llm_lib
+
+    cfg = cfglib.tiny_llm()
+    params = llm_lib.init_params(jax.random.PRNGKey(0), cfg)
+    q4 = quant.quantize_llm_params(params, bits=4)
+    mat = quant.materialize_quantized(q4, jnp.float32)
+
+    B, S = 2, 8
+    ids = np.arange(B * S).reshape(B, S) % cfg.vocab_size
+    embeds = llm_lib.embed_tokens(q4, jnp.asarray(ids))
+    pos = jnp.broadcast_to(jnp.arange(S), (B, S))
+    valid = jnp.full((B,), S)
+
+    h_q4, _ = jax.jit(lambda p: llm_lib.forward(
+        p, cfg, embeds, pos, valid, attn_impl="xla"))(q4)
+    h_ref, _ = llm_lib.forward(mat, cfg, embeds, pos, valid, attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(h_q4), np.asarray(h_ref),
+                               rtol=1e-5, atol=1e-5)

@@ -94,20 +94,27 @@ def preprocess_frames(frames: Sequence[Image.Image], cfg: VisionConfig,
     return np.stack(out, axis=0)
 
 
-def create_photo_grid(arr: np.ndarray, rows: Optional[int] = None,
+def create_photo_grid(arr, rows: Optional[int] = None,
                       cols: Optional[int] = None) -> np.ndarray:
     """Arrange t frames into a (rows x cols) photo grid.
 
-    Parity: mm_utils.py:41-88 (used by the legacy grid sampling scheme);
-    pads with black frames to fill the grid.
+    Parity: mm_utils.py:41-88 exactly — rows = ceil(sqrt(t)), cols =
+    ceil(t / rows) (NOT a square grid: t=2 gives 2x1), row-major fill,
+    black padding cells, list-of-frames input accepted.
     """
+    if isinstance(arr, list):
+        arr = np.stack([np.asarray(a) for a in arr])
     t, h, w, c = arr.shape
     if rows is None and cols is None:
-        rows = cols = int(np.ceil(np.sqrt(t)))
+        rows = int(np.ceil(np.sqrt(t)))
+        cols = int(np.ceil(t / rows))
     elif rows is None:
         rows = int(np.ceil(t / cols))
     elif cols is None:
         cols = int(np.ceil(t / rows))
+    if rows * cols < t:
+        raise ValueError(f"Not enough grid cells ({rows}x{cols}) to hold "
+                         f"all images ({t}).")
     num_pad = rows * cols - t
     if num_pad > 0:
         pad = np.zeros((num_pad, h, w, c), dtype=arr.dtype)

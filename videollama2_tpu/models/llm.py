@@ -322,7 +322,7 @@ def decode_step(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
         # unmerged LoRA adapters fall through to the dense() path, which
         # applies them; the Pallas kernels read only the quantized base
         return _decode_step_q8(params, cfg, token_embeds, cache, mask,
-                               cos, sin, write_pos)
+                               cos, sin, write_pos, valid_len, prompt_len)
 
     def body(x, scan_in):
         lp, ck, cv = scan_in
@@ -358,17 +358,21 @@ def decode_step(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
 
 def _decode_step_q8(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
                     cache: KVCache, mask: jax.Array, cos: jax.Array,
-                    sin: jax.Array, write_pos: jax.Array
+                    sin: jax.Array, write_pos: jax.Array,
+                    valid_len: jax.Array, prompt_len: int
                     ) -> Tuple[jax.Array, KVCache]:
     """Decode step over int8-packed weights via layer-indexed Pallas matmuls.
 
     `lax.scan` over stacked weights stages each layer's slice through a fresh
     HBM buffer (3x the weight bytes — the 35-44 ms/token floor characterized
     in docs/DESIGN.md). Here the scan iterates only the layer INDEX plus the
-    small per-layer tensors (norm scales, qkv biases, KV cache rows); the
-    stacked int8 kernels are closed over and read in place by Pallas kernels
-    (ops/decode_matmul) that DMA exactly layer li's blocks HBM->VMEM.
+    small per-layer tensors (norm scales, qkv biases); the stacked int8
+    kernels AND the stacked KV cache are carried/closed over and read in
+    place by layer-indexed Pallas kernels (ops/decode_matmul,
+    ops/decode_attention) that DMA exactly layer li's blocks HBM->VMEM —
+    neither the weights nor the cache is ever staged through a copy.
     """
+    from ..ops import decode_attention as dk_attn
     from ..ops import decode_matmul as dk
 
     B = token_embeds.shape[0]
@@ -383,9 +387,11 @@ def _decode_step_q8(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
     for n in ("q", "k", "v", "o"):
         if layers[n].get("bias") is not None:
             small[n + "_bias"] = layers[n]["bias"]
+    del mask  # the kernel computes masking from valid_len/write_pos
 
-    def body(x, scan_in):
-        sp, ck, cv, li = scan_in
+    def body(carry, scan_in):
+        x, ck_all, cv_all = carry
+        sp, li = scan_in
         h = rms_norm(x, sp["attn_norm"], cfg.rms_norm_eps)
         h2 = h[:, 0]                                   # [B, D]
         q = dk.matmul_q8_layered(h2, big["q"]["q"], big["q"]["scale"], li)
@@ -399,12 +405,14 @@ def _decode_step_q8(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
         k = k.reshape(B, 1, K, hd)
         v = v.reshape(B, 1, K, hd)
         q, k = apply_rope(q, k, cos, sin)
-        ck = jax.lax.dynamic_update_slice(
-            ck, k.astype(ck.dtype), (0, write_pos, 0, 0))
-        cv = jax.lax.dynamic_update_slice(
-            cv, v.astype(cv.dtype), (0, write_pos, 0, 0))
-        out = attn_ops.mha_xla(q, ck.astype(q.dtype), cv.astype(q.dtype),
-                               mask=mask)
+        out = dk_attn.decode_attention_layered(
+            q[:, 0], k[:, 0].astype(ck_all.dtype),
+            v[:, 0].astype(cv_all.dtype), ck_all, cv_all, li, valid_len,
+            write_pos, prompt_len, window=cfg.sliding_window)
+        ck_all = jax.lax.dynamic_update_slice(
+            ck_all, k.astype(ck_all.dtype)[None], (li, 0, write_pos, 0, 0))
+        cv_all = jax.lax.dynamic_update_slice(
+            cv_all, v.astype(cv_all.dtype)[None], (li, 0, write_pos, 0, 0))
         out = dk.matmul_q8_layered(out.reshape(B, H * hd),
                                    big["o"]["q"], big["o"]["scale"], li)
         if "o_bias" in sp:
@@ -415,11 +423,11 @@ def _decode_step_q8(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
             h[:, 0], big["gate"]["q"], big["gate"]["scale"],
             big["up"]["q"], big["up"]["scale"],
             big["down"]["q"], big["down"]["scale"], li)
-        return x + ffn[:, None, :], (ck, cv)
+        return (x + ffn[:, None, :], ck_all, cv_all), None
 
-    x, (new_k, new_v) = jax.lax.scan(
-        body, token_embeds,
-        (small, cache.k, cache.v, jnp.arange(L, dtype=jnp.int32)))
+    (x, new_k, new_v), _ = jax.lax.scan(
+        body, (token_embeds, cache.k, cache.v),
+        (small, jnp.arange(L, dtype=jnp.int32)))
     x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
     logits = lm_logits(params, cfg, x[:, 0])
     return logits, KVCache(new_k, new_v)

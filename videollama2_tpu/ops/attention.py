@@ -93,9 +93,14 @@ def attend(q, k, v, valid_len=None, causal: bool = True,
     Sliding-window currently routes to XLA (Mistral v0.2+ disables SW).
     """
     if impl == "auto":
+        # ViT-style non-causal odd lengths (577/729 patches) measured FASTER
+        # on XLA than on the padded flash kernel (641 vs 949 ms for 128
+        # CLIP-L frames): without causal block-pruning the kernel saves no
+        # FLOPs and the 577->640 pad + per-call overhead dominate
         impl = "pallas" if (_on_tpu() and window is None
                             and q.shape[-1] % 64 == 0
-                            and q.shape[1] >= 128) else "xla"
+                            and q.shape[1] >= 128
+                            and (causal or q.shape[1] % 128 == 0)) else "xla"
     if impl == "pallas":
         from .flash_attention import flash_attention_vjp
         if scale is None:

@@ -124,6 +124,11 @@ def dense(x: jax.Array, p: dict) -> jax.Array:
     """
     if "kernel" in p:
         y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype))
+    elif "kernel_q4" in p:
+        from .quant import dequantize_int4_in
+        w = dequantize_int4_in(p["kernel_q4"]["q4"], p["kernel_q4"]["scale"],
+                               x.dtype)
+        y = jnp.einsum("...i,io->...o", x, w)
     else:
         pack = p["kernel_q8"]
         rows = 1

@@ -59,11 +59,27 @@ def dequantize_int4(pack: Dict[str, jax.Array], dtype=jnp.bfloat16
     return (full.astype(jnp.float32) * pack["scale"]).astype(dtype)
 
 
+def dequantize_int4_in(q4: jax.Array, scale: jax.Array,
+                       dtype=jnp.bfloat16) -> jax.Array:
+    """Unpack an int4 pack whose packed axis is -2 (the 'in' dim of
+    [..., in, out] kernels — the only layout quantize_llm_params emits).
+    jit-safe: no data-dependent axis lookup, so it works inside scanned
+    layer bodies (ops/layers.dense kernel_q4 branch)."""
+    q = jnp.moveaxis(q4, -2, -1)
+    lo = (q << 4).astype(jnp.int8) >> 4
+    hi = q >> 4
+    full = jnp.stack([lo, hi], axis=-1).reshape(q.shape[:-1] +
+                                                (q.shape[-1] * 2,))
+    full = jnp.moveaxis(full, -1, -2)
+    return (full.astype(jnp.float32) * scale).astype(dtype)
+
+
 def quantize_llm_params(llm_params: Dict, bits: int = 8) -> Dict:
     """Quantize the big stacked-layer kernels; norms/embeds stay fp.
 
     Matches the reference's BnB coverage (linear layers only,
-    model/__init__.py:59-69)."""
+    model/__init__.py:59-69). int4 packs store only {q4, scale} (packed
+    axis is always -2) so the tree scans uniformly over the layer dim."""
     assert bits in (4, 8)
     out = dict(llm_params)
     layers = dict(llm_params["layers"])
@@ -75,7 +91,8 @@ def quantize_llm_params(llm_params: Dict, bits: int = 8) -> Dict:
         if bits == 8:
             entry["kernel_q8"] = quantize_int8(w, axis=-2)
         else:
-            entry["kernel_q4"] = quantize_int4(w, axis=-2)
+            pack = quantize_int4(w, axis=-2)
+            entry["kernel_q4"] = {"q4": pack["q4"], "scale": pack["scale"]}
         del entry["kernel"]
         layers[name] = entry
     out["layers"] = layers
@@ -96,7 +113,9 @@ def materialize_quantized(llm_params: Dict, dtype=jnp.bfloat16) -> Dict:
             layers[name] = e
         elif "kernel_q4" in entry:
             e = dict(entry)
-            e["kernel"] = dequantize_int4(e.pop("kernel_q4"), dtype)
+            pack = e.pop("kernel_q4")
+            e["kernel"] = dequantize_int4_in(pack["q4"], pack["scale"],
+                                             dtype)
             layers[name] = e
     out["layers"] = layers
     return out

@@ -73,6 +73,9 @@ def inject_lora(rng: jax.Array, llm_params: Dict, cfg: LoraConfig,
             L, d_in, d_out = entry["kernel"].shape
         elif "kernel_q8" in entry:
             L, d_in, d_out = entry["kernel_q8"]["q"].shape
+        elif "kernel_q4" in entry:
+            L, d_in, d_out = entry["kernel_q4"]["q4"].shape
+            d_in *= 2                    # int4 packs two rows per byte
         else:
             continue
         rng, sub = jax.random.split(rng)

@@ -125,22 +125,12 @@ def main():
         cfg = cfg.replace(num_frames=args.num_frames)
 
     # QLoRA / quantized-base training (reference train.py:404-423): the LLM
-    # base is frozen in int8/int4 packs (ops/quant) and only adapters train.
+    # base is frozen in int8 or packed-int4 (ops/quant; dense dequantizes
+    # in-graph) and only adapters train.
     if args.bits in (4, 8):
         from ..ops import quant
         params["llm"] = quant.quantize_llm_params(params["llm"],
                                                   bits=args.bits)
-        if args.bits == 4:
-            # int4 storage; dense consumes int8 packs, so repack to q8 view
-            from ..ops import quant as q
-            layers = dict(params["llm"]["layers"])
-            for name, entry in layers.items():
-                if isinstance(entry, dict) and "kernel_q4" in entry:
-                    e = dict(entry)
-                    w = q.dequantize_int4(e.pop("kernel_q4"))
-                    e["kernel_q8"] = q.quantize_int8(w, axis=-2)
-                    layers[name] = e
-            params["llm"]["layers"] = layers
 
     # LoRA (reference train.py:465-481): inject per-matmul adapters
     if args.lora_enable:
