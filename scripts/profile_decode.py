@@ -170,8 +170,11 @@ def unrolled():
             body, (tok, cks, cvs), jnp.arange(32, dtype=jnp.int32))
         return tok, cks, cvs
 
-    cks = [cache.k[l] for l in range(L)]
-    cvs = [cache.v[l] for l in range(L)]
+    # un-merge the cache layout for this per-layer mha_xla diagnostic
+    cks = [cache.k[l].reshape(B, M, cfg.num_kv_heads, cfg.head_dim)
+           for l in range(L)]
+    cvs = [cache.v[l].reshape(B, M, cfg.num_kv_heads, cfg.head_dim)
+           for l in range(L)]
     fn = jax.jit(chunk, donate_argnums=(2, 3))
     tok = jnp.zeros((B,), jnp.int32)
     out = jax.block_until_ready(fn(lparams, tok, cks, cvs, None))

@@ -119,7 +119,8 @@ def test_sliding_window_decode_masks_old_tokens():
 def test_decode_attention_kernel_non_pow2_blocks():
     """decode_attention_layered with a non-power-of-two M (the engine's
     M = bucket + budget, e.g. 2080): the kernel must pick a dividing block
-    (M=80, block_m=32 -> bm=20) and match a dense masked softmax over the
+    (M=80, block_m=32 -> bm=16, a multiple of 8 dividing M) and match a
+    dense masked softmax over the
     cache + the new token."""
     rng = np.random.default_rng(8)
     from videollama2_tpu.ops.decode_attention import decode_attention_layered
@@ -134,8 +135,11 @@ def test_decode_attention_kernel_non_pow2_blocks():
     cv = jnp.asarray(rng.standard_normal((L, B, M, K, hd)), jnp.float32)
     valid = jnp.asarray([17, 40])
 
-    got = decode_attention_layered(q, k_new, v_new, ck, cv, jnp.int32(li),
-                                   valid, jnp.int32(write_pos), prompt_len,
+    got = decode_attention_layered(q, k_new, v_new,
+                                   ck.reshape(L, B, M, K * hd),
+                                   cv.reshape(L, B, M, K * hd),
+                                   jnp.int32(li), valid,
+                                   jnp.int32(write_pos), prompt_len,
                                    block_m=32)
 
     # reference: dense softmax over [cache rows, new token]

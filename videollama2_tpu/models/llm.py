@@ -38,7 +38,15 @@ from ..ops.layers import apply_rope, dense, rms_norm, rope_table
 
 
 class KVCache(NamedTuple):
-    """Preallocated per-layer KV cache. k/v: [L, B, M, Hkv, hd]."""
+    """Preallocated per-layer KV cache. k/v: [L, B, M, Hkv*hd].
+
+    The kv-head and head-dim axes are stored MERGED: the decode attention
+    kernel (ops/decode_attention) reads [bm, Hkv*hd] blocks whose rows are
+    fully contiguous, and un-merging per head happens in-register via
+    128-lane-aligned slices. Keeping the cache 5-D and reshaping at the
+    kernel call instead costs a full-cache physical relayout per decode
+    step (XLA's tiled layouts make merging trailing axes non-free: measured
+    +7 ms/token at 7B/B=8/M=2080 — half the decode budget)."""
     k: jax.Array
     v: jax.Array
 
@@ -49,7 +57,8 @@ class KVCache(NamedTuple):
 
 def init_cache(cfg: LLMConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16) -> KVCache:
-    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    shape = (cfg.num_layers, batch, max_len,
+             cfg.num_kv_heads * cfg.head_dim)
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -272,10 +281,13 @@ def prefill(params: dict, cfg: LLMConfig, embeds: jax.Array,
     hidden, (k, v) = forward(params, cfg, embeds, positions, valid_len,
                              attn_impl=attn_impl)
     S = embeds.shape[1]
+    L, B = k.shape[0], k.shape[1]
+    k = k.reshape(L, B, S, -1)             # merge [Hkv, hd] (cache layout)
+    v = v.reshape(L, B, S, -1)
     new_k = jax.lax.dynamic_update_slice(
-        cache.k, k.astype(cache.k.dtype), (0, 0, 0, 0, 0))
+        cache.k, k.astype(cache.k.dtype), (0, 0, 0, 0))
     new_v = jax.lax.dynamic_update_slice(
-        cache.v, v.astype(cache.v.dtype), (0, 0, 0, 0, 0))
+        cache.v, v.astype(cache.v.dtype), (0, 0, 0, 0))
     # gather hidden state of the last *valid* token per sample
     idx = jnp.clip(valid_len - 1, 0, S - 1)
     last = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)[:, 0]
@@ -328,15 +340,17 @@ def decode_step(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
         lp, ck, cv = scan_in
         h = rms_norm(x, lp["attn_norm"]["scale"], cfg.rms_norm_eps)
         H, K, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+        M_ = ck.shape[1]
         q = dense(h, lp["q"]).reshape(B, 1, H, hd)
         k = dense(h, lp["k"]).reshape(B, 1, K, hd)
         v = dense(h, lp["v"]).reshape(B, 1, K, hd)
         q, k = apply_rope(q, k, cos, sin)
         ck = jax.lax.dynamic_update_slice(
-            ck, k.astype(ck.dtype), (0, write_pos, 0, 0))
+            ck, k.reshape(B, 1, K * hd).astype(ck.dtype), (0, write_pos, 0))
         cv = jax.lax.dynamic_update_slice(
-            cv, v.astype(cv.dtype), (0, write_pos, 0, 0))
-        out = attn_ops.mha_xla(q, ck.astype(q.dtype), cv.astype(q.dtype),
+            cv, v.reshape(B, 1, K * hd).astype(cv.dtype), (0, write_pos, 0))
+        out = attn_ops.mha_xla(q, ck.reshape(B, M_, K, hd).astype(q.dtype),
+                               cv.reshape(B, M_, K, hd).astype(q.dtype),
                                mask=mask)
         out = dense(out.reshape(B, 1, H * hd), lp["o"])
         x = x + out
@@ -367,10 +381,15 @@ def _decode_step_q8(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
     HBM buffer (3x the weight bytes — the 35-44 ms/token floor characterized
     in docs/DESIGN.md). Here the scan iterates only the layer INDEX plus the
     small per-layer tensors (norm scales, qkv biases); the stacked int8
-    kernels AND the stacked KV cache are carried/closed over and read in
+    kernels AND the stacked KV cache are closed over READ-ONLY and read in
     place by layer-indexed Pallas kernels (ops/decode_matmul,
-    ops/decode_attention) that DMA exactly layer li's blocks HBM->VMEM —
-    neither the weights nor the cache is ever staged through a copy.
+    ops/decode_attention) that DMA exactly layer li's blocks HBM->VMEM.
+    Each layer's new k/v row leaves the scan as a stacked output and all L
+    rows are written with ONE [L, B, 1, K, hd] dynamic_update_slice after
+    the scan (the attention kernel never reads row write_pos — the current
+    token attends to itself through the seeded accumulators). Making the
+    cache a scan CARRY instead measured 317 ms/token: XLA stages the full
+    stacked cache through a fresh copy every layer.
     """
     from ..ops import decode_attention as dk_attn
     from ..ops import decode_matmul as dk
@@ -389,8 +408,9 @@ def _decode_step_q8(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
             small[n + "_bias"] = layers[n]["bias"]
     del mask  # the kernel computes masking from valid_len/write_pos
 
-    def body(carry, scan_in):
-        x, ck_all, cv_all = carry
+    cache_k, cache_v = cache.k, cache.v
+
+    def body(x, scan_in):
         sp, li = scan_in
         h = rms_norm(x, sp["attn_norm"], cfg.rms_norm_eps)
         h2 = h[:, 0]                                   # [B, D]
@@ -405,14 +425,11 @@ def _decode_step_q8(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
         k = k.reshape(B, 1, K, hd)
         v = v.reshape(B, 1, K, hd)
         q, k = apply_rope(q, k, cos, sin)
+        k_row = k[:, 0].astype(cache_k.dtype)          # [B, K, hd]
+        v_row = v[:, 0].astype(cache_v.dtype)
         out = dk_attn.decode_attention_layered(
-            q[:, 0], k[:, 0].astype(ck_all.dtype),
-            v[:, 0].astype(cv_all.dtype), ck_all, cv_all, li, valid_len,
+            q[:, 0], k_row, v_row, cache_k, cache_v, li, valid_len,
             write_pos, prompt_len, window=cfg.sliding_window)
-        ck_all = jax.lax.dynamic_update_slice(
-            ck_all, k.astype(ck_all.dtype)[None], (li, 0, write_pos, 0, 0))
-        cv_all = jax.lax.dynamic_update_slice(
-            cv_all, v.astype(cv_all.dtype)[None], (li, 0, write_pos, 0, 0))
         out = dk.matmul_q8_layered(out.reshape(B, H * hd),
                                    big["o"]["q"], big["o"]["scale"], li)
         if "o_bias" in sp:
@@ -423,11 +440,15 @@ def _decode_step_q8(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
             h[:, 0], big["gate"]["q"], big["gate"]["scale"],
             big["up"]["q"], big["up"]["scale"],
             big["down"]["q"], big["down"]["scale"], li)
-        return (x + ffn[:, None, :], ck_all, cv_all), None
+        return x + ffn[:, None, :], (k_row, v_row)
 
-    (x, new_k, new_v), _ = jax.lax.scan(
-        body, (token_embeds, cache.k, cache.v),
-        (small, jnp.arange(L, dtype=jnp.int32)))
+    x, (k_rows, v_rows) = jax.lax.scan(
+        body, token_embeds, (small, jnp.arange(L, dtype=jnp.int32)))
+    # one aligned write of every layer's new row: [L, B, 1, K*hd]
+    new_k = jax.lax.dynamic_update_slice(
+        cache_k, k_rows.reshape(L, B, 1, K * hd), (0, 0, write_pos, 0))
+    new_v = jax.lax.dynamic_update_slice(
+        cache_v, v_rows.reshape(L, B, 1, K * hd), (0, 0, write_pos, 0))
     x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
     logits = lm_logits(params, cfg, x[:, 0])
     return logits, KVCache(new_k, new_v)

@@ -6,15 +6,23 @@ of ~67 MB/layer at 7B/B=8/M=2k). Here the stacked cache stays in HBM; the
 kernel receives the layer index by scalar prefetch and streams blocks of
 layer li through VMEM with the Mosaic grid pipeline, computing
 online-softmax GQA attention in fp32. The NEW token's k/v arrive as
-separate inputs and seed the accumulators, so the cache write (a
-dynamic_update_slice on the scan carry) can happen after the kernel
-without an ordering hazard.
+separate inputs and seed the accumulators, so the cache write (one
+dynamic_update_slice after the layer scan) never races the kernel.
 
-Grid layout: (B, Hkv, M/bm) — the kv-head axis is a GRID dim, so each
-step's cache block is [bm, 1, hd] (one head's contiguous-in-hd rows) and
-no in-kernel sublane relayout is needed (slicing the middle head dim of a
-[bm, K, hd] block measured 5.1 ms/layer in VPU shuffles; this layout runs
-the same math two orders of magnitude faster).
+Grid layout: (B, M/bm). The cache arrives with its [Hkv, hd] axes already
+merged (models/llm.KVCache stores [L, B, M, Hkv*hd] natively — reshaping
+here instead makes XLA materialize a full-cache relayout every decode
+step, measured at +7 ms/token), so each grid step DMAs a [bm, Hkv*hd]
+block whose rows are fully contiguous (2 KB at 7B) — maximum HBM burst
+efficiency. The per-kv-head math runs in an unrolled in-kernel
+loop: q arrives pre-split as [Hkv, G, hd] (leading-dim indexing only) and
+the key/value blocks are lane-sliced at hd-aligned (= 128-lane-aligned)
+boundaries, which Mosaic resolves to whole vector registers. Two rejected
+layouts, for the record: kv-head as a grid dim with a [bm, hd] block
+strided across the merged lane axis reads only 256 contiguous bytes per
+row (135 GB/s, 16 ms/token at 7B); slicing q's head groups from a [H, hd]
+block at sublane offset G=4 crashes the Mosaic layout pass (offset not
+tile-aligned).
 
 Replaces flash-attn's single-query decode path (reference forces
 flash_attention_2 on the LLM, videollama2/model/__init__.py:73-74).
@@ -35,26 +43,26 @@ NEG_INF = -1e30
 
 def _kernel(meta_ref, valid_ref, q_ref, kn_ref, vn_ref, ck_ref, cv_ref,
             o_ref, acc_ref, m_ref, l_ref, *, scale: float, block_m: int,
-            prompt_len: int, window: Optional[int], group: int,
-            head_dim: int):
+            prompt_len: int, window: Optional[int], kv_heads: int,
+            group: int, head_dim: int):
     b = pl.program_id(0)
-    mi = pl.program_id(2)
-    G, hd = group, head_dim
+    mi = pl.program_id(1)
+    K, G, hd = kv_heads, group, head_dim
     wp = meta_ref[1]                       # cache row of the current token
     valid = valid_ref[b]
-
-    q_h = q_ref[0, 0].astype(jnp.float32) * scale      # [G, hd]
 
     @pl.when(mi == 0)
     def _seed():
         # the current token attends to itself: seed the online-softmax
         # state with the new k/v (they are not in the cache yet)
-        kn = kn_ref[0, 0, 0].astype(jnp.float32)       # [hd]
-        vn = vn_ref[0, 0, 0].astype(jnp.float32)
-        s_new = jnp.sum(q_h * kn[None, :], axis=-1)    # [G]
-        m_ref[:, 0] = s_new
-        l_ref[:, 0] = jnp.ones_like(s_new)
-        acc_ref[:] = jnp.broadcast_to(vn[None, :], (G, hd))
+        for k in range(K):
+            q_k = q_ref[0, k].astype(jnp.float32)              # [G, hd]
+            kn = kn_ref[0, k].astype(jnp.float32)              # [1, hd]
+            vn = vn_ref[0, k].astype(jnp.float32)
+            s_new = jnp.sum(q_k * kn, axis=-1, keepdims=True) * scale
+            m_ref[k] = s_new                                   # [G, 1]
+            l_ref[k] = jnp.ones((G, 1), jnp.float32)
+            acc_ref[k] = jnp.broadcast_to(vn, (G, hd))
 
     col = mi * block_m + jax.lax.broadcasted_iota(
         jnp.int32, (1, block_m), 1)                    # [1, bm]
@@ -65,27 +73,39 @@ def _kernel(meta_ref, valid_ref, q_ref, kn_ref, vn_ref, ck_ref, cv_ref,
                               valid + (col - prompt_len))
         keep = keep & (q_pos - logical_k < window)
 
-    k_blk = ck_ref[0, 0, :, 0, :].astype(jnp.float32)  # [bm, hd]
-    v_blk = cv_ref[0, 0, :, 0, :].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q_h, k_blk, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [G, bm]
-    s = jnp.where(keep, s, NEG_INF)
+    # dots run in the cache's native dtype (bf16 on the MXU with fp32
+    # accumulation via preferred_element_type) — converting the [bm, K*hd]
+    # blocks to fp32 on the VPU costs more than the dots themselves; the
+    # softmax state stays fp32. scale is applied post-dot in fp32.
+    k_blk = ck_ref[0, 0]                               # [bm, K*hd]
+    v_blk = cv_ref[0, 0]
+    for k in range(K):
+        q_k = q_ref[0, k]                              # [G, hd]
+        kb = k_blk[:, k * hd:(k + 1) * hd]             # [bm, hd] lane slice
+        vb = v_blk[:, k * hd:(k + 1) * hd]
+        s = jax.lax.dot_general(
+            q_k, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [G, bm]
+        s = jnp.where(keep, s, NEG_INF)
+        # every intermediate stays 2-D ([G, 1] / [G, bm]): 1-D [G] values
+        # force sublane<->lane relayouts that measured ~as much VPU time
+        # as the dots themselves
+        m_prev = m_ref[k]                              # [G, 1]
+        m_new = jnp.maximum(m_prev,
+                            jnp.max(s, axis=-1, keepdims=True))
+        m_ref[k] = m_new
+        alpha = jnp.exp(m_prev - m_new)                # [G, 1]
+        p = jnp.exp(s - m_new)                         # [G, bm]
+        l_ref[k] = l_ref[k] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v_blk.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [G, hd]
+        acc_ref[k] = acc_ref[k] * alpha + pv
 
-    m_prev = m_ref[:, 0]                               # [G]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
-    m_ref[:, 0] = m_new
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new[:, None])                    # [G, bm]
-    l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=-1)
-    pv = jax.lax.dot_general(
-        p, v_blk, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [G, hd]
-    acc_ref[:] = acc_ref[:] * alpha[:, None] + pv
-
-    @pl.when(mi == pl.num_programs(2) - 1)
+    @pl.when(mi == pl.num_programs(1) - 1)
     def _emit():
-        o_ref[0, 0] = (acc_ref[:] / l_ref[:, 0][:, None]).astype(o_ref.dtype)
+        for k in range(K):
+            o_ref[0, k] = (acc_ref[k] / l_ref[k]).astype(o_ref.dtype)
 
 
 def decode_attention_layered(q: jax.Array, k_new: jax.Array,
@@ -94,58 +114,63 @@ def decode_attention_layered(q: jax.Array, k_new: jax.Array,
                              valid_len: jax.Array, write_pos: jax.Array,
                              prompt_len: int,
                              window: Optional[int] = None,
-                             block_m: int = 1024,
+                             block_m: int = 512,
                              interpret: Optional[bool] = None) -> jax.Array:
     """Single-token GQA attention against layer `layer` of a stacked cache.
 
     q: [B, H, hd]; k_new/v_new: [B, Hkv, hd] (current token, pre-cache);
-    cache_k/v: [L, B, M, Hkv, hd]; valid_len: [B] prompt lengths;
-    write_pos: scalar — cache row the current token will occupy (kernel
-    reads only rows < write_pos); prompt_len: static prompt bucket.
+    cache_k/v: [L, B, M, Hkv*hd] (the merged models/llm.KVCache layout —
+    merging at this call site instead costs a full-cache relayout per
+    step); valid_len: [B] prompt lengths; write_pos: scalar — cache row
+    the current token will occupy (kernel reads only rows < write_pos);
+    prompt_len: static prompt bucket.
     Returns [B, H, hd] in q.dtype. GQA head h reads kv head h // (H/Hkv)
     (the contiguous-group layout of mha_xla / HF repeat_kv).
     """
     B, H, hd = q.shape
-    L, _, M, K, _ = cache_k.shape
+    K = k_new.shape[1]
+    L, _, M, _ = cache_k.shape
     G = H // K
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
-    # bm is a block OUTER dim (tiling constraints apply to trailing dims),
-    # so any divisor of M works: take the largest <= block_m. Partial tail
-    # blocks are avoided — interpret mode pads them, compiled Mosaic clamps
-    # them, and both break the col-index masking.
+    # bm must divide M (partial tail blocks are avoided — interpret mode
+    # pads them, compiled Mosaic clamps them, and both break the col-index
+    # masking) and, as the sublane dim of the merged [bm, K*hd] cache
+    # block, be a multiple of 8 for the Mosaic lowering (unless bm == M).
+    # Take the largest such divisor <= block_m, falling back to M itself.
     bm = min(block_m, M)
-    while M % bm:
+    while bm > 1 and (M % bm or bm % 8):
         bm -= 1
+    if bm == 1 and M > 1:
+        bm = M
 
     kernel = functools.partial(
         _kernel, scale=hd ** -0.5, block_m=bm, prompt_len=prompt_len,
-        window=window, group=G, head_dim=hd)
+        window=window, kv_heads=K, group=G, head_dim=hd)
 
     meta = jnp.stack([jnp.asarray(layer, jnp.int32),
                       jnp.asarray(write_pos, jnp.int32)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,            # meta [2], valid_len [B] in SMEM
-        grid=(B, K, M // bm),
+        grid=(B, M // bm),
         in_specs=[
-            # q as [B, K, G, hd]: head rows kv*G..(kv+1)*G are contiguous
-            pl.BlockSpec((1, 1, G, hd),
-                         lambda b, kv, m, meta, val: (b, kv, 0, 0)),
-            pl.BlockSpec((1, 1, 1, hd),
-                         lambda b, kv, m, meta, val: (b, kv, 0, 0)),
-            pl.BlockSpec((1, 1, 1, hd),
-                         lambda b, kv, m, meta, val: (b, kv, 0, 0)),
-            pl.BlockSpec((1, 1, bm, 1, hd),
-                         lambda b, kv, m, meta, val: (meta[0], b, m, kv, 0)),
-            pl.BlockSpec((1, 1, bm, 1, hd),
-                         lambda b, kv, m, meta, val: (meta[0], b, m, kv, 0)),
+            # q pre-split as [B, K, G, hd]: head rows kv*G..(kv+1)*G are
+            # contiguous, so in-kernel access is leading-dim indexing only
+            pl.BlockSpec((1, K, G, hd), lambda b, m, meta, val: (b, 0, 0, 0)),
+            pl.BlockSpec((1, K, 1, hd), lambda b, m, meta, val: (b, 0, 0, 0)),
+            pl.BlockSpec((1, K, 1, hd), lambda b, m, meta, val: (b, 0, 0, 0)),
+            # cache as [L, B, M, K*hd]: rows fully contiguous in memory
+            pl.BlockSpec((1, 1, bm, K * hd),
+                         lambda b, m, meta, val: (meta[0], b, m, 0)),
+            pl.BlockSpec((1, 1, bm, K * hd),
+                         lambda b, m, meta, val: (meta[0], b, m, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, G, hd),
-                               lambda b, kv, m, meta, val: (b, kv, 0, 0)),
+        out_specs=pl.BlockSpec((1, K, G, hd),
+                               lambda b, m, meta, val: (b, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((G, hd), jnp.float32),          # acc
-            pltpu.VMEM((G, 1), jnp.float32),           # running max
-            pltpu.VMEM((G, 1), jnp.float32),           # running denom
+            pltpu.VMEM((K, G, hd), jnp.float32),       # acc
+            pltpu.VMEM((K, G, 1), jnp.float32),        # running max
+            pltpu.VMEM((K, G, 1), jnp.float32),        # running denom
         ],
     )
     out = pl.pallas_call(
