@@ -115,3 +115,42 @@ def test_int4_dense_in_graph():
     h_ref, _ = llm_lib.forward(mat, cfg, embeds, pos, valid, attn_impl="xla")
     np.testing.assert_allclose(np.asarray(h_q4), np.asarray(h_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_w8a8_prefill_context_matches_dequant():
+    """Inside ops.layers.w8a8_prefill, large-row int8-pack matmuls route
+    through the s8xs8 dot (engine prefill path on TPU); full-model logits
+    must track the dequantize-in-graph path closely."""
+    import jax
+    from videollama2_tpu.core import config as cfglib
+    from videollama2_tpu.models import llm as llm_lib
+    from videollama2_tpu.ops import layers as layers_ops
+
+    cfg = cfglib.tiny_llm()
+    params = llm_lib.init_params(jax.random.PRNGKey(0), cfg)
+    q8 = quant.quantize_llm_params(params, bits=8)
+
+    B, S = 2, 96  # rows > 64: the prefill branch
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg.vocab_size, (B, S))
+    embeds = llm_lib.embed_tokens(q8, jnp.asarray(ids))
+    pos = jnp.broadcast_to(jnp.arange(S), (B, S))
+    valid = jnp.full((B,), S)
+
+    h_ref, _ = llm_lib.forward(q8, cfg, embeds, pos, valid, attn_impl="xla")
+
+    orig = layers_ops._on_tpu
+    layers_ops._on_tpu = lambda: True  # dense_w8a8 is plain XLA, runs on CPU
+    try:
+        with layers_ops.w8a8_prefill(True):
+            h_w8, _ = llm_lib.forward(q8, cfg, embeds, pos, valid,
+                                      attn_impl="xla")
+    finally:
+        layers_ops._on_tpu = orig
+
+    ref = np.asarray(h_ref, np.float64).ravel()
+    got = np.asarray(h_w8, np.float64).ravel()
+    corr = np.corrcoef(ref, got)[0, 1]
+    assert corr > 0.999, corr
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.05, rel

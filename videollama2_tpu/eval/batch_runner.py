@@ -50,18 +50,30 @@ def run_batched(model, tokenizer, items: Sequence[dict],
     tensors: List[np.ndarray] = []
     owners: List[int] = []  # media_group index per pending prompt
 
-    def flush():
-        nonlocal pending, tensors, owners
-        if not pending:
-            return
-        frames = np.stack(tensors, axis=0)
+    def run(batch):
+        b_pending, dev_frames, b_owners = batch
         outs = model.engine.generate(
-            [ids for _, _, ids in pending], frames=frames, gen=gen,
-            eos_token_id=eos, media_group=owners)
-        for (item, meta, _), out in zip(pending, outs):
+            [ids for _, _, ids in b_pending], frames=dev_frames, gen=gen,
+            eos_token_id=eos, media_group=b_owners)
+        for (item, meta, _), out in zip(b_pending, outs):
             text = tokenizer.decode(out, skip_special_tokens=True).strip()
             on_result(item, meta, text)
+
+    # one-deep device pipeline: batch n+1's frames stream host->device
+    # (Engine.upload_frames is an async dispatch) while batch n computes,
+    # hiding the transfer behind encode+prefill+decode
+    in_flight = None
+
+    def flush():
+        nonlocal pending, tensors, owners, in_flight
+        if not pending:
+            return
+        dev = model.engine.upload_frames(np.stack(tensors, axis=0))
+        batch = (pending, dev, owners)
         pending, tensors, owners = [], [], []
+        if in_flight is not None:
+            run(in_flight)
+        in_flight = batch
 
     # batches flush only at video boundaries so a video's prompts never
     # split across media groups (batches may exceed batch_prompts by one
@@ -77,3 +89,5 @@ def run_batched(model, tokenizer, items: Sequence[dict],
         if len(pending) >= batch_prompts:
             flush()
     flush()
+    if in_flight is not None:
+        run(in_flight)

@@ -53,13 +53,17 @@ class Engine:
                  dtype=jnp.bfloat16, max_len: int = 4096,
                  buckets: Sequence[int] = DEFAULT_BUCKETS,
                  attn_impl: str = "auto", decode_chunk: int = DECODE_CHUNK,
-                 shard_fn: Optional[Callable] = None):
+                 shard_fn: Optional[Callable] = None,
+                 w8a8_prefill: bool = True):
         self.cfg = cfg
         self.dtype = dtype
         self.max_len = max_len
         self.buckets = tuple(b for b in buckets if b <= max_len)
         self.attn_impl = attn_impl
         self.decode_chunk = decode_chunk
+        # int8-pack models only: prefill via native s8xs8 MXU dots
+        # (ops/layers.w8a8_prefill); no-op for bf16 params
+        self.w8a8_prefill = w8a8_prefill
         target = jax.devices()[0]
 
         def _cast(a):
@@ -86,8 +90,20 @@ class Engine:
         key = (seq_len, batch, mode)
         if key not in self._prefill_cache:
             cfg, attn_impl = self.cfg, self.attn_impl
+            from ..ops import layers as layers_ops
+            w8a8 = self.w8a8_prefill
 
-            @functools.partial(jax.jit, donate_argnums=(6,))
+            def jit_p(donate):
+                # the w8a8 context must be active while jit TRACES the
+                # body, so it wraps inside the jitted function
+                def deco(fn):
+                    def inner(*args):
+                        with layers_ops.w8a8_prefill(w8a8):
+                            return fn(*args)
+                    return jax.jit(inner, donate_argnums=donate)
+                return deco
+
+            @jit_p((6,))
             def prefill_vision(params, frames, text_ids, is_visual,
                                vis_index, valid_len, cache):
                 positions = jnp.broadcast_to(
@@ -127,7 +143,7 @@ class Engine:
                 logits = llm_lib.lm_logits(params["llm"], cfg.llm, last)
                 return logits, cache
 
-            @functools.partial(jax.jit, donate_argnums=(6,))
+            @jit_p((6,))
             def prefill_audio(params, fbank, text_ids, is_visual,
                               vis_index, valid_len, cache):
                 aud = vl2.encode_audio(params, cfg, fbank)
@@ -143,7 +159,7 @@ class Engine:
                 logits = llm_lib.lm_logits(params["llm"], cfg.llm, last)
                 return logits, cache
 
-            @functools.partial(jax.jit, donate_argnums=(7,))
+            @jit_p((7,))
             def prefill_av(params, frames, fbank, text_ids, is_visual,
                            vis_index, valid_len, cache):
                 vis = vl2.encode_frames(params, cfg, frames,
@@ -164,7 +180,7 @@ class Engine:
                 logits = llm_lib.lm_logits(params["llm"], cfg.llm, last)
                 return logits, cache
 
-            @functools.partial(jax.jit, donate_argnums=(3,))
+            @jit_p((3,))
             def prefill_text(params, text_ids, valid_len, cache):
                 embeds = llm_lib.embed_tokens(params["llm"], text_ids,
                                               dtype=self.dtype)
@@ -216,6 +232,25 @@ class Engine:
 
         return decode_chunk_fn
 
+    def _frames_to_device(self, frames) -> jax.Array:
+        """Frames to device: uint8 stays uint8 (normalized on device by
+        encode_frames), floats cast to the engine dtype. jax.Arrays pass
+        through untouched so callers can overlap the upload (see
+        upload_frames / generate docstring)."""
+        if isinstance(frames, jax.Array):
+            return (frames if frames.dtype in (jnp.uint8, self.dtype)
+                    else frames.astype(self.dtype))
+        fr = np.asarray(frames)
+        return (jnp.asarray(fr) if fr.dtype == np.uint8
+                else jnp.asarray(fr, self.dtype))
+
+    def upload_frames(self, frames: np.ndarray) -> jax.Array:
+        """Start an async host->device upload of a frame batch and return
+        the device array. Call this for batch i+1 right after dispatching
+        batch i's generate(): the copy streams while the device computes,
+        hiding the transfer (~1 s for 43 MB over a remote tunnel)."""
+        return self._frames_to_device(frames)
+
     # -- public API --------------------------------------------------------
 
     def pick_bucket(self, length: int) -> int:
@@ -240,8 +275,12 @@ class Engine:
         """Generate continuations for a batch of tokenized prompts.
 
         batch_input_ids may contain negative modal tokens; frames is
-        [B, T, H, W, 3] float32, one slot per sample (zeros rows for
-        text-only samples in a mixed batch), or None. audio is
+        [B, T, H, W, 3] float32 or uint8, one slot per sample (zeros rows
+        for text-only samples in a mixed batch), or None. frames may also
+        be a jax.Array already resident on device — callers that know the
+        next batch ahead of time can jax.device_put it while the previous
+        batch computes, hiding the host->device transfer entirely (the
+        upload streams behind the dispatched computation). audio is
         [B, audio.max_frames, 128] normalized fbank features or None. For
         joint AV prompts the <video>/<image> tag must precede <audio>.
         Returns newly generated ids per sample (EOS included, parity with
@@ -259,11 +298,11 @@ class Engine:
                 "audio" if audio is not None else "text")
         if mode == "vision_shared":
             # frames: [1, T, H, W, 3] shared by every prompt in the batch
-            frames = np.asarray(frames)[:1]
+            frames = frames[:1]
         if mode == "image":
             # single-frame slot: the tower runs once, features broadcast to
             # num_frames on device (see encode_frames broadcast_image)
-            frames = np.asarray(frames)[:, :1]
+            frames = frames[:, :1]
         tokens_per_modal: Any = cfg.tokens_per_video
         if audio is not None:
             tokens_per_modal = {-200: cfg.tokens_per_video,
@@ -284,10 +323,7 @@ class Engine:
                      jnp.asarray(plan.vis_index),
                      jnp.asarray(plan.valid_len))
         if mode in ("vision", "image", "vision_shared", "vision_grouped"):
-            fr = np.asarray(frames)
-            # uint8 frames normalize on device (encode_frames); floats cast
-            fr = (jnp.asarray(fr) if fr.dtype == np.uint8
-                  else jnp.asarray(fr, self.dtype))
+            fr = self._frames_to_device(frames)
             if mode == "vision_grouped":
                 fr = (fr, jnp.asarray(np.asarray(media_group,
                                                  dtype=np.int32)))
@@ -297,9 +333,7 @@ class Engine:
                                     jnp.asarray(audio, self.dtype),
                                     *plan_args, cache)
         elif mode == "av":
-            fr = np.asarray(frames)
-            fr = (jnp.asarray(fr) if fr.dtype == np.uint8
-                  else jnp.asarray(fr, self.dtype))
+            fr = self._frames_to_device(frames)
             logits, cache = prefill(self.params, fr,
                                     jnp.asarray(audio, self.dtype),
                                     *plan_args, cache)

@@ -93,10 +93,11 @@ def attend(q, k, v, valid_len=None, causal: bool = True,
     Sliding-window currently routes to XLA (Mistral v0.2+ disables SW).
     """
     if impl == "auto":
-        # ViT-style non-causal odd lengths (577/729 patches) measured FASTER
-        # on XLA than on the padded flash kernel (641 vs 949 ms for 128
-        # CLIP-L frames): without causal block-pruning the kernel saves no
-        # FLOPs and the 577->640 pad + per-call overhead dominate
+        # Non-causal odd lengths (577/729 patches) stay on XLA: the flash
+        # kernel measured SLOWER than XLA for the ViT both with per-call
+        # padding (949 vs 641 ms, 128 CLIP-L frames) and with the encoder
+        # pre-padded once to S=640 (891 ms) — hd=64 fills only half the
+        # MXU contraction depth and non-causal has no pruning to win back.
         impl = "pallas" if (_on_tpu() and window is None
                             and q.shape[-1] % 64 == 0
                             and q.shape[1] >= 128
