@@ -128,3 +128,33 @@ def test_inference_sharded_matches_single(tiny_setup):
                              gen=GenerationConfig(max_new_tokens=6),
                              eos_token_id=-1)[0]
     assert out1 == out8
+
+
+def test_sequence_parallel_step_matches_unsharded(tiny_setup):
+    """Ulysses SP (tokens sharded over `seq`, heads for attention): the
+    sharded loss/updates must equal the unsharded step. tiny model has
+    H=4/Hkv=2 heads, so sp=2 divides both."""
+    cfg, params, batch = tiny_setup
+    ocfg = opt_lib.OptimizerConfig(learning_rate=1e-3, total_steps=10)
+    tx = opt_lib.build_optimizer(params, ocfg)
+
+    step1 = step_lib.make_train_step(cfg, tx, mesh=None,
+                                     compute_dtype=jnp.float32,
+                                     attn_impl="xla")
+    s1 = step_lib.init_state(jax.tree.map(jnp.array, params), tx)
+    s1, m1 = step1(s1, batch)
+
+    mesh = mesh_lib.make_mesh(data=2, fsdp=2, seq=2)
+    with mesh:
+        s8 = step_lib.init_sharded_state(mesh, params, tx)
+        step8 = step_lib.make_train_step(cfg, tx, mesh=mesh,
+                                         compute_dtype=jnp.float32,
+                                         attn_impl="xla",
+                                         sequence_parallel=True)
+        s8, m8 = step8(s8, batch)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-4)
+    a = np.asarray(s1.params["llm"]["layers"]["q"]["kernel"])
+    b = np.asarray(s8.params["llm"]["layers"]["q"]["kernel"])
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)

@@ -214,17 +214,22 @@ def _ffn_moe_gather(x: jax.Array, lp: dict, cfg: LLMConfig) -> jax.Array:
 def _attention_block(cfg: LLMConfig, x: jax.Array, lp: dict,
                      cos: jax.Array, sin: jax.Array,
                      valid_len: jax.Array, attn_impl: str = "auto"):
-    """Shared attention core. Returns (attn_out, (k, v)) with k/v pre-cache."""
+    """Shared attention core. Returns (attn_out, (k, v)) with k/v pre-cache.
+
+    Under parallel.sharding.sequence_parallel, q/k/v are re-annotated from
+    seq-sharded to head-sharded (GSPMD inserts the Ulysses all-to-alls) so
+    each shard attends over the FULL sequence for its head slice."""
+    from ..parallel import sharding as sh
     B, S, D = x.shape
     H, K, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    q = dense(x, lp["q"]).reshape(B, S, H, hd)
-    k = dense(x, lp["k"]).reshape(B, S, K, hd)
-    v = dense(x, lp["v"]).reshape(B, S, K, hd)
+    q = sh.sp_shard_heads(dense(x, lp["q"]).reshape(B, S, H, hd))
+    k = sh.sp_shard_heads(dense(x, lp["k"]).reshape(B, S, K, hd))
+    v = sh.sp_shard_heads(dense(x, lp["v"]).reshape(B, S, K, hd))
     q, k = apply_rope(q, k, cos, sin)
     out = attn_ops.attend(q, k, v, valid_len=valid_len, causal=True,
                           window=cfg.sliding_window, impl=attn_impl)
     out = out.reshape(B, S, H * hd)
-    return dense(out, lp["o"]), (k, v)
+    return sh.sp_shard_seq(dense(out, lp["o"])), (k, v)
 
 
 def _layer(cfg: LLMConfig, x, lp, cos, sin, valid_len, attn_impl="auto"):
@@ -256,13 +261,15 @@ def forward(params: dict, cfg: LLMConfig, embeds: jax.Array,
     positions: [B, S] RoPE positions. valid_len: [B].
     Returns (hidden [B, S, D] post-final-norm, (k, v) [L, B, S, Hkv, hd]).
     """
+    from ..parallel import sharding as sh
     B, S, D = embeds.shape
     cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
+    embeds = sh.sp_shard_seq(embeds)
 
     def body(x, lp):
         out, kv = _layer(cfg, x, lp, cos, sin, valid_len,
                          attn_impl=attn_impl)
-        return out, kv
+        return sh.sp_shard_seq(out), kv
 
     if remat:
         body = jax.checkpoint(body)

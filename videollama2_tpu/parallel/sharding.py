@@ -18,6 +18,7 @@ Conventions (stacked-layer trees, kernels [in, out]):
 from __future__ import annotations
 
 import re
+from contextlib import contextmanager
 from typing import Any, Tuple
 
 import jax
@@ -117,4 +118,53 @@ SEQ_ACT_SPEC = P(("data", "fsdp"), None, None)  # [B, S, D]
 def constrain_batch(x: jax.Array) -> jax.Array:
     """Annotate [B, ...] activations as batch-sharded (inside jit)."""
     spec = P(("data", "fsdp"), *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, spec)
+
+
+# ---------------------------------------------------------------------------
+# Ulysses-style sequence parallelism (trace-time context)
+#
+# Tokens shard over the `seq` mesh axis everywhere EXCEPT attention, which
+# needs every key for every query: q/k/v are re-annotated head-sharded over
+# the same axis, so GSPMD inserts the two all-to-alls (seq-shard -> head-
+# shard -> seq-shard) that define DeepSpeed-Ulysses. Composes with tensor
+# parallelism: the head dim is sharded over ("tensor", "seq") jointly, so
+# heads must be divisible by tp*sp. Absent in the reference (SURVEY §2.3);
+# enables context lengths whose activations exceed one chip.
+# ---------------------------------------------------------------------------
+
+_SP_ON = False
+
+
+@contextmanager
+def sequence_parallel(enabled: bool = True):
+    """Enable SP annotations in models/llm.forward while tracing. Must wrap
+    the traced body (inside jit), like ops/layers.w8a8_prefill."""
+    global _SP_ON
+    prev = _SP_ON
+    _SP_ON = enabled
+    try:
+        yield
+    finally:
+        _SP_ON = prev
+
+
+def sp_enabled() -> bool:
+    return _SP_ON
+
+
+def sp_shard_seq(x: jax.Array) -> jax.Array:
+    """[B, S, ...]: tokens sharded over `seq` (MLP/norm/residual regions)."""
+    if not _SP_ON:
+        return x
+    spec = P(("data", "fsdp"), "seq", *([None] * (x.ndim - 2)))
+    return jax.lax.with_sharding_constraint(x, spec)
+
+
+def sp_shard_heads(x: jax.Array) -> jax.Array:
+    """[B, S, H, hd]: full sequence per shard, heads sharded — the
+    all-to-all side of Ulysses attention."""
+    if not _SP_ON:
+        return x
+    spec = P(("data", "fsdp"), None, ("tensor", "seq"), None)
     return jax.lax.with_sharding_constraint(x, spec)

@@ -49,7 +49,8 @@ def _loss_fn(params, cfg: ModelConfig, batch: Batch, compute_dtype,
 
 def make_train_step(cfg: ModelConfig, tx, mesh: Optional[Mesh] = None,
                     compute_dtype=jnp.bfloat16, attn_impl: str = "auto",
-                    grad_accum: int = 1, trainable: Any = None):
+                    grad_accum: int = 1, trainable: Any = None,
+                    sequence_parallel: bool = False):
     """Build the jitted train step.
 
     Batch arrays arrive as [grad_accum * microbatch, ...]; when grad_accum>1
@@ -60,9 +61,13 @@ def make_train_step(cfg: ModelConfig, tx, mesh: Optional[Mesh] = None,
     lets XLA dead-code-eliminate their backward pass and (b) is REQUIRED for
     QLoRA, whose int8 base weights cannot be cotangents
     (optimizer.trainable_mask; reference train.py:404-481).
+
+    `sequence_parallel` turns on Ulysses SP annotations in the LLM forward
+    (parallel/sharding.sequence_parallel): requires a mesh with seq > 1.
     """
 
     constrain_fn = sh.constrain_batch if mesh is not None else None
+    sp_on = sequence_parallel and mesh is not None
 
     def _grads(params, b):
         if trainable is None:
@@ -90,6 +95,12 @@ def make_train_step(cfg: ModelConfig, tx, mesh: Optional[Mesh] = None,
 
     def step_fn(state: TrainState, batch: Batch):
         def compute(b):
+            # context manager is trace-time: it is active here because
+            # step_fn runs inside jit's trace
+            if sp_on:
+                with sh.sequence_parallel():
+                    (loss, metrics), grads = _grads(state.params, b)
+                return loss, metrics, grads
             (loss, metrics), grads = _grads(state.params, b)
             return loss, metrics, grads
 

@@ -71,6 +71,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--mesh_data", type=int, default=1)
     ap.add_argument("--mesh_fsdp", type=int, default=-1)
     ap.add_argument("--mesh_tensor", type=int, default=1)
+    ap.add_argument("--mesh_seq", type=int, default=1,
+                    help="Ulysses sequence-parallel degree (long context)")
     return ap
 
 
@@ -184,7 +186,7 @@ def main():
         group_by_modality_length=args.group_by_modality_length,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         mesh_data=args.mesh_data, mesh_fsdp=args.mesh_fsdp,
-        mesh_tensor=args.mesh_tensor)
+        mesh_tensor=args.mesh_tensor, mesh_seq=args.mesh_seq)
 
     trainer = Trainer(cfg, params, dataset, opt_cfg, tcfg)
     trainer.train()

@@ -44,6 +44,7 @@ class TrainerConfig:
     mesh_data: int = 1
     mesh_fsdp: int = -1
     mesh_tensor: int = 1
+    mesh_seq: int = 1
 
 
 class Trainer:
@@ -58,7 +59,7 @@ class Trainer:
 
         self.mesh = mesh_lib.make_mesh(
             data=trainer_cfg.mesh_data, fsdp=trainer_cfg.mesh_fsdp,
-            tensor=trainer_cfg.mesh_tensor)
+            tensor=trainer_cfg.mesh_tensor, seq=trainer_cfg.mesh_seq)
         self.collator = data_lib.Collator(model_cfg, trainer_cfg.seq_len)
 
         n_batches = len(dataset) // self._global_batch()
@@ -77,7 +78,8 @@ class Trainer:
             self.step_fn = step_lib.make_train_step(
                 model_cfg, self.tx, mesh=self.mesh, compute_dtype=dtype,
                 grad_accum=trainer_cfg.gradient_accumulation_steps,
-                trainable=trainable)
+                trainable=trainable,
+                sequence_parallel=trainer_cfg.mesh_seq > 1)
 
         # auto-resume (train.py:554-557)
         ckpt_dir = os.path.join(trainer_cfg.output_dir, "checkpoints")
