@@ -53,3 +53,28 @@ def test_help(module):
         capture_output=True, text=True, timeout=300)
     assert out.returncode == 0, out.stderr[-800:]
     assert "usage" in out.stdout.lower() or "usage" in out.stderr.lower()
+
+
+def test_launch_multihost_mesh_resolution():
+    """launch_multihost resolves fsdp=-1 from the device count and rejects
+    non-dividing meshes (docs/MULTIHOST.md launch recipe)."""
+    import importlib.util
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "launch_multihost",
+        os.path.join(repo, "scripts", "launch_multihost.py"))
+    lm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(lm)
+
+    args = lm.parse_args(["--mesh_tensor", "8", "train", "--", "--x", "1"])
+    assert args.rest == ["--x", "1"]
+    shape = lm.resolve_mesh(args, 64)
+    assert shape == dict(data=1, fsdp=8, tensor=8, expert=1, seq=1)
+
+    args = lm.parse_args(["--mesh_tensor", "8", "--mesh_fsdp", "4", "train"])
+    try:
+        lm.resolve_mesh(args, 64)
+        raise AssertionError("expected SystemExit")
+    except SystemExit:
+        pass

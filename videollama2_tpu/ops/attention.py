@@ -93,11 +93,13 @@ def attend(q, k, v, valid_len=None, causal: bool = True,
     Sliding-window currently routes to XLA (Mistral v0.2+ disables SW).
     """
     if impl == "auto":
-        # Non-causal odd lengths (577/729 patches) stay on XLA: the flash
-        # kernel measured SLOWER than XLA for the ViT both with per-call
-        # padding (949 vs 641 ms, 128 CLIP-L frames) and with the encoder
-        # pre-padded once to S=640 (891 ms) — hd=64 fills only half the
-        # MXU contraction depth and non-causal has no pruning to win back.
+        # Non-causal with S % 128 != 0 (577/729 patches) stays on XLA —
+        # per-call pad/unpad x23 layers measured slower than XLA. The ViT
+        # instead pre-pads its token dim ONCE (models/vit._pad_tokens), so
+        # S % 128 == 0 holds here and the kernel path wins: flash with
+        # whole-sequence blocks (flash_attention small-non-causal branch)
+        # measured 14.7 vs 20.0 ms/layer for 128 CLIP-L frames — it skips
+        # XLA's materialized [S, S] fp32 probs.
         impl = "pallas" if (_on_tpu() and window is None
                             and q.shape[-1] % 64 == 0
                             and q.shape[1] >= 128
