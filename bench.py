@@ -64,7 +64,14 @@ def _run(quantize_llm: bool):
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
 
-    cfg = cfglib.preset("videollama2_mistral").replace(num_frames=NUM_FRAMES)
+    # BENCH_MODEL=qwen2 measures the 2.1-family flagship instead
+    # (SigLIP-SO400M/384 x 729 patch tokens + Qwen2-7B, GQA 4 kv heads)
+    model = os.environ.get("BENCH_MODEL", "mistral")
+    preset = {"mistral": "videollama2_mistral",
+              "qwen2": "videollama2_qwen2"}.get(model)
+    if preset is None:
+        raise SystemExit(f"unknown BENCH_MODEL={model}")
+    cfg = cfglib.preset(preset).replace(num_frames=NUM_FRAMES)
     if not on_tpu:
         # CPU smoke fallback so the script always emits a line
         cfg = cfglib.tiny_model()
@@ -124,8 +131,10 @@ def _run(quantize_llm: bool):
           file=sys.stderr, flush=True)
 
     # distinct frames per iteration: guards against any execution-level
-    # result caching between host and device (identical input buffers)
-    iters = 4 if on_tpu else 1
+    # result caching between host and device (identical input buffers);
+    # 6 iters so the median survives tunnel-congestion outliers (single
+    # iters measured 2.6-11.2 s for identical work, BASELINE.md)
+    iters = 6 if on_tpu else 1
     frame_sets = [rng.integers(0, 255, (BATCH, T, H, H, 3), dtype=np.uint8)
                   for _ in range(iters)]
 
@@ -178,7 +187,7 @@ def _run(quantize_llm: bool):
     return {
         "metric": (f"videos/sec e2e ({T}-frame encode + prefill + "
                    f"{DECODE_TOKENS}-tok greedy decode, "
-                   f"{'CLIP-L/336+STC+Mistral-7B ' + wcfg if on_tpu else 'tiny-cpu-smoke'}, "
+                   f"{('CLIP-L/336+STC+Mistral-7B ' if model == 'mistral' else 'SigLIP-400M/384+STCv35+Qwen2-7B ') + wcfg if on_tpu else 'tiny-cpu-smoke'}, "
                    f"batch {BATCH}, measured on 1 chip; vs_baseline = x8-chip "
                    f"v5e-8 extrapolation / analytic A100 batch-{BATCH})"),
         "value": round(videos_per_sec, 4),
