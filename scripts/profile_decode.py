@@ -35,13 +35,20 @@ def main():
             names = ()
         else:
             names = ("q", "k", "v", "o", "gate", "up", "down")
+        bits = int(os.environ.get("BITS", "8"))
         for name in names:
             e = dict(layers[name])
             w = e.pop("kernel")
-            e["kernel_q8"] = {"q": jnp.ones(w.shape, jnp.int8),
-                              "scale": jnp.full(
-                                  w.shape[:-2] + (1, w.shape[-1]), 1e-4,
-                                  jnp.float32)}
+            scale = jnp.full(w.shape[:-2] + (1, w.shape[-1]), 1e-4,
+                             jnp.float32)
+            if bits == 8:
+                e["kernel_q8"] = {"q": jnp.ones(w.shape, jnp.int8),
+                                  "scale": scale}
+            else:  # folded int4 pack: half the rows, two nibbles per byte
+                e["kernel_q4"] = {
+                    "q4": jnp.ones(w.shape[:-2] + (w.shape[-2] // 2,
+                                                   w.shape[-1]), jnp.int8),
+                    "scale": scale}
             layers[name] = e
         lparams["layers"] = layers
     lparams = jax.device_put(lparams, dev)

@@ -34,13 +34,15 @@ def _one_step(params, cfg, B=2, bucket=32, M=64, step=3, seed=1):
                                jnp.int32(step))
 
 
-@pytest.mark.parametrize("model_type", ["mistral", "qwen2"])
-def test_q8_pallas_decode_matches_dequant(model_type):
+@pytest.mark.parametrize("model_type,bits", [("mistral", 8), ("qwen2", 8),
+                                             ("mistral", 4), ("qwen2", 4)])
+def test_q8_pallas_decode_matches_dequant(model_type, bits):
     """The layer-indexed Pallas decode (auto-selected when all projections
-    carry kernel_q8) must match the dequantize-in-graph XLA path — including
-    qwen2's qkv biases, which ride the scanned small-param tree."""
+    carry kernel_q8/kernel_q4) must match the dequantize-in-graph XLA path —
+    including qwen2's qkv biases, which ride the scanned small-param tree,
+    and the folded int4 nibble planes (load_4bit serving)."""
     cfg, params = _setup(model_type)
-    qparams = quant.quantize_llm_params(params, bits=8)
+    qparams = quant.quantize_llm_params(params, bits=bits)
     ref = quant.materialize_quantized(qparams, jnp.float32)
 
     lo_ref, c_ref = _one_step(ref, cfg)

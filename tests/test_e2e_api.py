@@ -67,3 +67,20 @@ def test_mm_infer_text_deterministic(loaded):
     b = videollama2_tpu.mm_infer(None, "Say yes .", model, tokenizer,
                                  modal="text", max_new_tokens=6)
     assert a == b  # greedy decode is deterministic
+
+
+@pytest.mark.parametrize("kw", [{"load_8bit": True}, {"load_4bit": True}])
+def test_model_init_quantized(ckpt, kw):
+    """model_init(load_8bit/load_4bit) quantizes the LLM on load (the
+    reference's bitsandbytes serving flags, model/__init__.py:48,59-69)
+    and still generates."""
+    import jax.numpy as jnp
+    import videollama2_tpu
+    model, processor, tokenizer = videollama2_tpu.model_init(
+        ckpt, dtype=jnp.float32, max_len=256, buckets=(128,),
+        attn_impl="xla", **kw)
+    key = "kernel_q8" if kw.get("load_8bit") else "kernel_q4"
+    assert key in model.engine.params["llm"]["layers"]["q"]
+    out = videollama2_tpu.mm_infer(None, "Hi?", model, tokenizer,
+                                   modal="text", do_sample=False)
+    assert isinstance(out, str) and out

@@ -45,11 +45,16 @@ class VideoLLaMA2:
 
 def model_init(model_path: Optional[str] = None, dtype=None,
                max_len: int = 4096, model_base: Optional[str] = None,
-               vision_tower_path: Optional[str] = None, **kwargs):
+               vision_tower_path: Optional[str] = None,
+               load_8bit: bool = False, load_4bit: bool = False, **kwargs):
     """Load a checkpoint directory; returns (model, processor, tokenizer).
 
     Parity: videollama2/__init__.py:14-29 + load_pretrained_model's LoRA /
     pretrain-adapter / full paths (model/__init__.py:48-193) via model_base.
+    load_8bit/load_4bit quantize the LLM weights on load (the reference's
+    bitsandbytes serving configs, model/__init__.py:59-69); the decode path
+    then runs the layer-indexed int8/int4 Pallas kernels and prefill uses
+    W8A8 MXU dots (int8) or dequant-in-graph (int4).
     """
     import jax.numpy as jnp
     if dtype is None:
@@ -60,6 +65,10 @@ def model_init(model_path: Optional[str] = None, dtype=None,
     cfg, params = convert_hf.load_videollama2(
         model_path, model_base=model_base,
         vision_tower_path=vision_tower_path)
+    if load_8bit or load_4bit:
+        from ..ops import quant
+        params["llm"] = quant.quantize_llm_params(
+            params["llm"], bits=8 if load_8bit else 4)
     engine = Engine(cfg, params, dtype=dtype, max_len=max_len, **kwargs)
     model = VideoLLaMA2(config=cfg, engine=engine)
 

@@ -335,13 +335,17 @@ def decode_step(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
     mask = mask[:, None, None, :]
 
     layers = params["layers"]
-    if not cfg.is_moe and all(
-            "kernel_q8" in layers[n] and "lora" not in layers[n]
-            for n in ("q", "k", "v", "o", "gate", "up", "down")):
-        # unmerged LoRA adapters fall through to the dense() path, which
-        # applies them; the Pallas kernels read only the quantized base
-        return _decode_step_q8(params, cfg, token_embeds, cache, mask,
-                               cos, sin, write_pos, valid_len, prompt_len)
+    proj = ("q", "k", "v", "o", "gate", "up", "down")
+    for pack, bits in (("kernel_q8", 8), ("kernel_q4", 4)):
+        if not cfg.is_moe and all(
+                pack in layers[n] and "lora" not in layers[n]
+                for n in proj):
+            # unmerged LoRA adapters fall through to the dense() path,
+            # which applies them; the Pallas kernels read only the
+            # quantized base
+            return _decode_step_q8(params, cfg, token_embeds, cache, mask,
+                                   cos, sin, write_pos, valid_len,
+                                   prompt_len, bits=bits)
 
     def body(x, scan_in):
         lp, ck, cv = scan_in
@@ -380,9 +384,11 @@ def decode_step(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
 def _decode_step_q8(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
                     cache: KVCache, mask: jax.Array, cos: jax.Array,
                     sin: jax.Array, write_pos: jax.Array,
-                    valid_len: jax.Array, prompt_len: int
+                    valid_len: jax.Array, prompt_len: int, bits: int = 8
                     ) -> Tuple[jax.Array, KVCache]:
-    """Decode step over int8-packed weights via layer-indexed Pallas matmuls.
+    """Decode step over int8/int4-packed weights via layer-indexed Pallas
+    matmuls (bits=4 streams half the weight bytes: the reference's
+    load_4bit serving configuration at full kernel speed).
 
     `lax.scan` over stacked weights stages each layer's slice through a fresh
     HBM buffer (3x the weight bytes — the 35-44 ms/token floor characterized
@@ -405,8 +411,18 @@ def _decode_step_q8(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
     H, K, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     L = cfg.num_layers
     layers = params["layers"]
-    big = {n: layers[n]["kernel_q8"]
-           for n in ("q", "k", "v", "o", "gate", "up", "down")}
+    if bits == 8:
+        big = {n: layers[n]["kernel_q8"]
+               for n in ("q", "k", "v", "o", "gate", "up", "down")}
+        mm = lambda h, e, li: dk.matmul_q8_layered(  # noqa: E731
+            h, e["q"], e["scale"], li)
+        ffn_fn = dk.ffn_q8_layered
+    else:
+        big = {n: layers[n]["kernel_q4"]
+               for n in ("q", "k", "v", "o", "gate", "up", "down")}
+        mm = lambda h, e, li: dk.matmul_q4_layered(  # noqa: E731
+            h, e["q4"], e["scale"], li)
+        ffn_fn = dk.ffn_q4_layered
 
     small = {"attn_norm": layers["attn_norm"]["scale"],
              "mlp_norm": layers["mlp_norm"]["scale"]}
@@ -421,9 +437,9 @@ def _decode_step_q8(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
         sp, li = scan_in
         h = rms_norm(x, sp["attn_norm"], cfg.rms_norm_eps)
         h2 = h[:, 0]                                   # [B, D]
-        q = dk.matmul_q8_layered(h2, big["q"]["q"], big["q"]["scale"], li)
-        k = dk.matmul_q8_layered(h2, big["k"]["q"], big["k"]["scale"], li)
-        v = dk.matmul_q8_layered(h2, big["v"]["q"], big["v"]["scale"], li)
+        q = mm(h2, big["q"], li)
+        k = mm(h2, big["k"], li)
+        v = mm(h2, big["v"], li)
         if "q_bias" in sp:
             q = q + sp["q_bias"].astype(q.dtype)
             k = k + sp["k_bias"].astype(k.dtype)
@@ -437,16 +453,16 @@ def _decode_step_q8(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
         out = dk_attn.decode_attention_layered(
             q[:, 0], k_row, v_row, cache_k, cache_v, li, valid_len,
             write_pos, prompt_len, window=cfg.sliding_window)
-        out = dk.matmul_q8_layered(out.reshape(B, H * hd),
-                                   big["o"]["q"], big["o"]["scale"], li)
+        out = mm(out.reshape(B, H * hd), big["o"], li)
         if "o_bias" in sp:
             out = out + sp["o_bias"].astype(out.dtype)
         x = x + out[:, None, :]
         h = rms_norm(x, sp["mlp_norm"], cfg.rms_norm_eps)
-        ffn = dk.ffn_q8_layered(
-            h[:, 0], big["gate"]["q"], big["gate"]["scale"],
-            big["up"]["q"], big["up"]["scale"],
-            big["down"]["q"], big["down"]["scale"], li)
+        wk = "q" if bits == 8 else "q4"
+        ffn = ffn_fn(
+            h[:, 0], big["gate"][wk], big["gate"]["scale"],
+            big["up"][wk], big["up"]["scale"],
+            big["down"][wk], big["down"]["scale"], li)
         return x + ffn[:, None, :], (k_row, v_row)
 
     x, (k_rows, v_rows) = jax.lax.scan(

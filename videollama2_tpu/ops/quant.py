@@ -31,15 +31,21 @@ def dequantize_int8(pack: Dict[str, jax.Array], dtype=jnp.bfloat16
 
 
 def quantize_int4(w: jax.Array, axis: int = -1) -> Dict[str, jax.Array]:
-    """Symmetric per-channel int4, two nibbles packed per int8 along `axis`."""
+    """Symmetric per-channel int4, two nibbles packed per int8 along `axis`.
+
+    FOLDED layout: byte i holds row i (low nibble) and row i + n/2 (high
+    nibble) — NOT interleaved pairs. Unpacking is then two contiguous
+    half-slices + concat, and the decode kernels (ops/decode_matmul q4
+    paths) never reorder rows in-register: they split the activation into
+    halves and take two dots against the two nibble planes."""
     amax = jnp.max(jnp.abs(w), axis=axis, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 7.0
     q = jnp.clip(jnp.round(w / scale), -7, 7).astype(jnp.int8)
-    # pack pairs along the quantization axis
     q = jnp.moveaxis(q, axis, -1)
-    assert q.shape[-1] % 2 == 0, "int4 pack needs even dimension"
-    lo = q[..., 0::2] & 0x0F
-    hi = (q[..., 1::2] & 0x0F) << 4
+    n = q.shape[-1]
+    assert n % 2 == 0, "int4 pack needs even dimension"
+    lo = q[..., :n // 2] & 0x0F
+    hi = (q[..., n // 2:] & 0x0F) << 4
     packed = (lo | hi).astype(jnp.int8)
     packed = jnp.moveaxis(packed, -1, axis)
     return {"q4": packed, "scale": scale.astype(jnp.float32),
@@ -53,8 +59,7 @@ def dequantize_int4(pack: Dict[str, jax.Array], dtype=jnp.bfloat16
     q = jnp.moveaxis(pack["q4"], axis, -1)
     lo = (q << 4).astype(jnp.int8) >> 4  # sign-extend low nibble
     hi = q >> 4                          # arithmetic shift sign-extends high
-    full = jnp.stack([lo, hi], axis=-1).reshape(q.shape[:-1] +
-                                                (q.shape[-1] * 2,))
+    full = jnp.concatenate([lo, hi], axis=-1)   # folded halves
     full = jnp.moveaxis(full, -1, axis)
     return (full.astype(jnp.float32) * pack["scale"]).astype(dtype)
 
@@ -68,8 +73,7 @@ def dequantize_int4_in(q4: jax.Array, scale: jax.Array,
     q = jnp.moveaxis(q4, -2, -1)
     lo = (q << 4).astype(jnp.int8) >> 4
     hi = q >> 4
-    full = jnp.stack([lo, hi], axis=-1).reshape(q.shape[:-1] +
-                                                (q.shape[-1] * 2,))
+    full = jnp.concatenate([lo, hi], axis=-1)   # folded halves
     full = jnp.moveaxis(full, -1, -2)
     return (full.astype(jnp.float32) * scale).astype(dtype)
 
