@@ -105,6 +105,20 @@ def _run(quantize_llm: bool):
                 del entry["kernel"]
                 layers[name] = entry
             params["llm"] = {**params["llm"], "layers": layers}
+            if model == "qwen2":
+                # 152k vocab: bf16 embed + lm_head alone are 2.2 GB and
+                # push the int8 7B past 16 GB HBM — store both int8
+                # (models/llm.embed_tokens / lm_logits q8 paths)
+                hk = params["llm"]["lm_head"]["kernel"]
+                params["llm"]["lm_head"] = {"kernel_q8": {
+                    "q": jnp.ones(hk.shape, jnp.int8),
+                    "scale": jnp.full((1, hk.shape[-1]), 1e-4,
+                                      jnp.float32)}}
+                ew = params["llm"]["embed"]["weight"]
+                params["llm"]["embed"] = {"weight_q8": {
+                    "q": jnp.ones(ew.shape, jnp.int8),
+                    "scale": jnp.full((ew.shape[0], 1), 1e-4,
+                                      jnp.float32)}}
             wcfg = "int8-weights"
 
     H = cfg.vision.image_size

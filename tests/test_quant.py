@@ -154,3 +154,30 @@ def test_w8a8_prefill_context_matches_dequant():
     assert corr > 0.999, corr
     rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
     assert rel < 0.05, rel
+
+
+def test_embed_and_lmhead_q8_paths():
+    """int8 embedding gather + int8 lm_head (BnB quantizes every Linear)
+    must track the fp path closely through embed_tokens/lm_logits."""
+    import jax
+    from videollama2_tpu.core import config as cfglib
+    from videollama2_tpu.models import llm as llm_lib
+
+    cfg = cfglib.tiny_llm()
+    params = llm_lib.init_params(jax.random.PRNGKey(0), cfg)
+    q = quant.quantize_llm_params(params, bits=8, include_head=True,
+                                  include_embed=True)
+    assert "kernel_q8" in q["lm_head"] and "weight_q8" in q["embed"]
+
+    ids = jnp.asarray([[1, 5, 9], [2, 0, 3]])
+    e_fp = llm_lib.embed_tokens(params, ids)
+    e_q8 = llm_lib.embed_tokens(q, ids)
+    np.testing.assert_allclose(np.asarray(e_q8), np.asarray(e_fp),
+                               rtol=0.02, atol=0.01)
+
+    h = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.hidden_size)) * 0.1
+    lo_fp = llm_lib.lm_logits(params, cfg, h)
+    lo_q8 = llm_lib.lm_logits(q, cfg, h)
+    ref = np.asarray(lo_fp).ravel()
+    got = np.asarray(lo_q8).ravel()
+    assert np.corrcoef(ref, got)[0, 1] > 0.999

@@ -112,7 +112,17 @@ def init_params(rng: jax.Array, cfg: LLMConfig, dtype=jnp.float32) -> dict:
 
 def embed_tokens(params: dict, token_ids: jax.Array,
                  dtype=None) -> jax.Array:
-    w = params["embed"]["weight"]
+    emb = params["embed"]
+    if "weight_q8" in emb:
+        # int8 embedding (per-row scales): gather int8 rows, scale after —
+        # only the looked-up rows dequantize (quant.quantize_llm_params
+        # include_embed, the 150k-vocab HBM lever)
+        pack = emb["weight_q8"]
+        rows = jnp.take(pack["q"], token_ids, axis=0)
+        scales = jnp.take(pack["scale"], token_ids, axis=0)
+        out = rows.astype(jnp.float32) * scales
+        return out.astype(dtype if dtype is not None else jnp.float32)
+    w = emb["weight"]
     if dtype is not None:
         w = w.astype(dtype)
     return jnp.take(w, token_ids, axis=0)
@@ -120,6 +130,11 @@ def embed_tokens(params: dict, token_ids: jax.Array,
 
 def lm_logits(params: dict, cfg: LLMConfig, hidden: jax.Array) -> jax.Array:
     """Project hidden states to vocabulary logits (fp32)."""
+    if not cfg.tie_word_embeddings and "kernel_q8" in params.get(
+            "lm_head", {}):
+        # int8 lm_head (BnB quantizes every Linear incl. the head):
+        # dense() runs W8A8 on TPU / dequant-in-graph elsewhere
+        return dense(hidden, params["lm_head"]).astype(jnp.float32)
     if cfg.tie_word_embeddings:
         kernel = params["embed"]["weight"].T
     else:

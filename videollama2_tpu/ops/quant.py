@@ -78,12 +78,19 @@ def dequantize_int4_in(q4: jax.Array, scale: jax.Array,
     return (full.astype(jnp.float32) * scale).astype(dtype)
 
 
-def quantize_llm_params(llm_params: Dict, bits: int = 8) -> Dict:
-    """Quantize the big stacked-layer kernels; norms/embeds stay fp.
+def quantize_llm_params(llm_params: Dict, bits: int = 8,
+                        include_head: bool = True,
+                        include_embed: bool = False) -> Dict:
+    """Quantize the big stacked-layer kernels; norms stay fp.
 
-    Matches the reference's BnB coverage (linear layers only,
-    model/__init__.py:59-69). int4 packs store only {q4, scale} (packed
-    axis is always -2) so the tree scans uniformly over the layer dim."""
+    Matches the reference's BnB coverage: bitsandbytes replaces every
+    nn.Linear incl. lm_head (model/__init__.py:59-69) but not nn.Embedding
+    — hence include_head defaults on and include_embed off (embed int8 is
+    an extra HBM lever for 150k-vocab models; rows are gathered then
+    row-scaled, see models/llm.embed_tokens). int4 packs store only
+    {q4, scale} (packed axis is always -2) so the tree scans uniformly
+    over the layer dim; lm_head/embed always use int8 (they are gather/
+    single-matmul consumers, not the folded-nibble decode kernels)."""
     assert bits in (4, 8)
     out = dict(llm_params)
     layers = dict(llm_params["layers"])
@@ -100,6 +107,14 @@ def quantize_llm_params(llm_params: Dict, bits: int = 8) -> Dict:
         del entry["kernel"]
         layers[name] = entry
     out["layers"] = layers
+    if include_head and "lm_head" in out:
+        head = dict(out["lm_head"])
+        head["kernel_q8"] = quantize_int8(head.pop("kernel"), axis=-2)
+        out["lm_head"] = head
+    if include_embed:
+        emb = dict(out["embed"])
+        emb["weight_q8"] = quantize_int8(emb.pop("weight"), axis=-1)
+        out["embed"] = emb
     return out
 
 
