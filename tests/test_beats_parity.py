@@ -86,6 +86,8 @@ class TorchBeats(nn.Module):
             pass
         self.encoder = Enc()
         self.encoder.pos_conv = nn.Sequential(conv)
+        # fairseq backbone input LN (layer_norm_first=False)
+        self.encoder.layer_norm = nn.LayerNorm(D, eps=cfg.layer_norm_eps)
         layers = []
         for l in range(cfg.num_layers):
             layer = nn.Module()
@@ -110,6 +112,7 @@ class TorchBeats(nn.Module):
         if cfg.conv_pos % 2 == 0:
             pos = pos[:, :-1]
         x = x + torch.nn.functional.gelu(pos[:, :x.shape[1]])
+        x = self.encoder.layer_norm(x)
         S = x.shape[1]
         pos_bias = self.encoder.layers[0].self_attn.pos_bias(S)
         alpha = (2 * cfg.num_layers) ** 0.25
@@ -119,6 +122,96 @@ class TorchBeats(nn.Module):
             h = layer.fc2(torch.nn.functional.gelu(layer.fc1(x)))
             x = layer.final_layer_norm(x * alpha + h)
         return x
+
+
+def _beats_iter3_key_manifest(prefix="model.audio_tower."):
+    """The published BEATs_iter3+(AS2M)(cpt2) state-dict key layout as it
+    rides inside the VideoLLaMA2.1-7B-AV checkpoint (reference
+    README.md:130-132; architecture: microsoft/unilm BEATs backbone,
+    layer_norm_first=False, gru_rel_pos, deep_norm, E=512 D=768 L=12 H=12
+    F=3072 conv_pos=128 groups=16). Shapes derive from the config; values
+    are zeros — this pins NAMES so converter drift fails loudly."""
+    E, D, L, H, F, K, G = 512, 768, 12, 12, 3072, 128, 16
+    keys = {
+        f"{prefix}patch_embedding.weight": (E, 1, 16, 16),
+        f"{prefix}layer_norm.weight": (E,),
+        f"{prefix}layer_norm.bias": (E,),
+        f"{prefix}post_extract_proj.weight": (D, E),
+        f"{prefix}post_extract_proj.bias": (D,),
+        f"{prefix}encoder.pos_conv.0.bias": (D,),
+        f"{prefix}encoder.pos_conv.0.weight_g": (1, 1, K),
+        f"{prefix}encoder.pos_conv.0.weight_v": (D, D // G, K),
+        f"{prefix}encoder.layer_norm.weight": (D,),
+        f"{prefix}encoder.layer_norm.bias": (D,),
+    }
+    for l in range(L):
+        p = f"{prefix}encoder.layers.{l}."
+        keys.update({
+            f"{p}self_attn.q_proj.weight": (D, D),
+            f"{p}self_attn.q_proj.bias": (D,),
+            f"{p}self_attn.k_proj.weight": (D, D),   # k_proj: bias=False
+            f"{p}self_attn.v_proj.weight": (D, D),
+            f"{p}self_attn.v_proj.bias": (D,),
+            f"{p}self_attn.out_proj.weight": (D, D),
+            f"{p}self_attn.out_proj.bias": (D,),
+            f"{p}self_attn.grep_linear.weight": (8, D // H),
+            f"{p}self_attn.grep_linear.bias": (8,),
+            f"{p}self_attn.gru_rel_pos_const": (1, H, 1, 1),
+            # BEATs shares layer 0's relative_attention_bias module by
+            # reference across all layers, so EVERY layer serializes the
+            # (identical) embedding; the converter reads layer 0's
+            f"{p}self_attn.relative_attention_bias.weight": (320, H),
+            f"{p}self_attn_layer_norm.weight": (D,),
+            f"{p}self_attn_layer_norm.bias": (D,),
+            f"{p}final_layer_norm.weight": (D,),
+            f"{p}final_layer_norm.bias": (D,),
+            f"{p}fc1.weight": (F, D),
+            f"{p}fc1.bias": (F,),
+            f"{p}fc2.weight": (D, F),
+            f"{p}fc2.bias": (D,),
+        })
+    return keys
+
+
+def test_beats_av_checkpoint_key_manifest():
+    """Dry-run the AV audio converter against the pinned BEATs-iter3 key
+    manifest (VERDICT r2 #9): every manifest key must be consumed (or be a
+    known shared-module duplicate) and the converted tree must match
+    models.beats.init_params leaf-for-leaf in structure and shape — a
+    naming/shape drift in either direction fails here without weights."""
+    cfg = AudioConfig()  # released geometry: E=512 D=768 L=12 H=12 F=3072
+
+    class RecordingDict(dict):
+        def __init__(self, *a):
+            super().__init__(*a)
+            self.read = set()
+
+        def __getitem__(self, k):
+            self.read.add(k)
+            return super().__getitem__(k)
+
+        def __contains__(self, k):
+            return super().__contains__(k)
+
+    manifest = _beats_iter3_key_manifest()
+    sd = RecordingDict({k: torch.zeros(s) for k, s in manifest.items()})
+    params = audio_params_from_state_dict(sd, cfg,
+                                          prefix="model.audio_tower.")
+
+    # rel-bias is shared across layers: only layer 0's copy need be read
+    allowed_unread = {
+        f"model.audio_tower.encoder.layers.{l}.self_attn."
+        "relative_attention_bias.weight" for l in range(1, cfg.num_layers)}
+    unread = set(manifest) - sd.read - allowed_unread
+    assert not unread, f"manifest keys never consumed: {sorted(unread)}"
+
+    ref = jbeats.init_params(jax.random.PRNGKey(0), cfg)
+    got_tree = jax.tree.structure(jax.tree.map(np.shape, params))
+    ref_tree = jax.tree.structure(jax.tree.map(np.shape, ref))
+    assert got_tree == ref_tree
+    got_shapes = jax.tree.leaves(jax.tree.map(np.shape, params))
+    ref_shapes = jax.tree.leaves(jax.tree.map(np.shape, ref))
+    assert got_shapes == ref_shapes
 
 
 def test_beats_torch_parity():

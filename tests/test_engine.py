@@ -101,6 +101,30 @@ def test_engine_batched(tiny):
     assert batched == singles
 
 
+def test_engine_moe_defaults_to_dense_dispatch():
+    """Inference pins exact HF MoE semantics (VERDICT r2 #4): 'auto' would
+    route every real Mixtral prefill (>=64 tokens) through the token-dropping
+    capacity gather, risking answer parity under router imbalance. The
+    Engine must rewrite auto->dense; explicit 'gather' is respected."""
+    import dataclasses
+    cfg = cfglib.tiny_model(model_type="videollama2_mixtral")
+    assert cfg.llm.is_moe and cfg.llm.moe_dispatch == "auto"
+    params = vl2.init_params(jax.random.PRNGKey(1), cfg)
+    eng = Engine(cfg, params, dtype=jnp.float32, max_len=64, buckets=(32,),
+                 attn_impl="xla", decode_chunk=4)
+    assert eng.cfg.llm.moe_dispatch == "dense"
+    # an explicit opt-in stays untouched
+    gcfg = dataclasses.replace(
+        cfg, llm=dataclasses.replace(cfg.llm, moe_dispatch="gather"))
+    eng_g = Engine(gcfg, params, dtype=jnp.float32, max_len=64,
+                   buckets=(32,), attn_impl="xla", decode_chunk=4)
+    assert eng_g.cfg.llm.moe_dispatch == "gather"
+    # and the dense engine generates (the parity-exact path end to end)
+    out = eng.generate([[3, 4, 5]], gen=GenerationConfig(max_new_tokens=3),
+                       eos_token_id=-1)
+    assert len(out[0]) == 3
+
+
 def test_share_media_matches_replicated(tiny):
     """share_media=True (encode once, broadcast) == replicated frames."""
     cfg, params = tiny

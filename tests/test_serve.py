@@ -100,6 +100,47 @@ def test_heartbeat_updates_queue(serve_stack):
     assert not controller.receive_heart_beat("http://nonexistent:1", 0)
 
 
+def test_controller_hierarchy_two_level(serve_stack):
+    """Controller-as-worker (reference controller.py:218-236): a parent
+    controller sees a child controller as one worker and proxies a stream
+    through parent -> child -> real worker."""
+    from videollama2_tpu.serve import controller as ctrl_mod
+
+    child, worker, child_port, _ = serve_stack
+    parent = ctrl_mod.Controller("shortest_queue")
+    parent_srv = ThreadingHTTPServer(("localhost", 0),
+                                     ctrl_mod.make_handler(parent))
+    parent_port = parent_srv.server_address[1]
+    threading.Thread(target=parent_srv.serve_forever, daemon=True).start()
+    try:
+        ok = child.register_to_parent(
+            f"http://localhost:{child_port}",
+            f"http://localhost:{parent_port}")
+        assert ok
+        # parent lists the child's aggregate models
+        with _post(f"http://localhost:{parent_port}/list_models", {}) as r:
+            assert "tiny" in json.loads(r.read())["models"]
+        # parent dispatch resolves to the child controller's address
+        with _post(f"http://localhost:{parent_port}/get_worker_address",
+                   {"model": "tiny"}) as r:
+            addr = json.loads(r.read())["address"]
+        assert addr == f"http://localhost:{child_port}"
+        # two-level proxy: parent -> child -> worker stream
+        with _post(f"http://localhost:{parent_port}/worker_generate_stream",
+                   {"model": "tiny", "prompt": "what is the cat doing ?",
+                    "temperature": 0.0, "max_new_tokens": 4},
+                   timeout=600) as r:
+            raw = r.read()
+        chunks = [json.loads(c) for c in raw.split(b"\0") if c]
+        assert chunks and chunks[-1]["error_code"] == 0
+        # parent heartbeat bookkeeping treats the child as a worker
+        assert parent.receive_heart_beat(
+            f"http://localhost:{child_port}",
+            child.aggregate_status()["queue_length"])
+    finally:
+        parent_srv.shutdown()
+
+
 def test_worker_status_endpoints(serve_stack):
     _, worker, _, wrk_port = serve_stack
     with _post(f"http://localhost:{wrk_port}/worker_get_status", {}) as r:

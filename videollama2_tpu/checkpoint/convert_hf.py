@@ -285,7 +285,8 @@ def audio_params_from_state_dict(sd: Mapping, cfg, prefix: str) -> dict:
 
     Key map (BEATs.py): patch_embedding (Conv2d no-bias), layer_norm,
     post_extract_proj, encoder.pos_conv.0 (weight-normed Conv1d:
-    weight_g/weight_v), encoder.layers.{l}.self_attn.{q,k,v,out}_proj
+    weight_g/weight_v), encoder.layer_norm (post-norm backbone input LN),
+    encoder.layers.{l}.self_attn.{q,k,v,out}_proj
     (k_proj bias-free), grep_linear (+ gru_rel_pos_const),
     relative_attention_bias (layer 0 only), self_attn_layer_norm /
     final_layer_norm, fc1/fc2.
@@ -352,6 +353,9 @@ def audio_params_from_state_dict(sd: Mapping, cfg, prefix: str) -> dict:
             "bias": _a(sd, f"{prefix}post_extract_proj.bias")},
         "pos_conv": {"kernel": pos_kernel,
                      "bias": _a(sd, f"{prefix}encoder.pos_conv.0.bias")},
+        # fairseq backbone's input LN (layer_norm_first=False)
+        "enc_ln": {"scale": _a(sd, f"{prefix}encoder.layer_norm.weight"),
+                   "bias": _a(sd, f"{prefix}encoder.layer_norm.bias")},
         # nn.Embedding(num_buckets, num_heads): [320, H], no transpose
         "rel_embed": _a(
             sd, f"{prefix}encoder.layers.0.self_attn."

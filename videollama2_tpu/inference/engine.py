@@ -18,6 +18,7 @@ design:
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from dataclasses import dataclass
 from typing import Any, Callable, List, Optional, Sequence
@@ -55,6 +56,15 @@ class Engine:
                  attn_impl: str = "auto", decode_chunk: int = DECODE_CHUNK,
                  shard_fn: Optional[Callable] = None,
                  w8a8_prefill: bool = True):
+        if cfg.llm.is_moe and cfg.llm.moe_dispatch == "auto":
+            # Inference defaults to exact dense dispatch: the capacity-based
+            # gather drops over-capacity tokens under router imbalance (a
+            # documented delta vs HF MixtralSparseMoeBlock, reference
+            # train.py:34), and every real Mixtral prefill exceeds the auto
+            # threshold. Answer parity beats the k/E FLOP saving here;
+            # training keeps the gather via moe_dispatch="auto"/"gather".
+            cfg = dataclasses.replace(
+                cfg, llm=dataclasses.replace(cfg.llm, moe_dispatch="dense"))
         self.cfg = cfg
         self.dtype = dtype
         self.max_len = max_len
@@ -115,9 +125,10 @@ class Engine:
                     vis = jnp.broadcast_to(
                         vis, (text_ids.shape[0],) + vis.shape[1:])
                     from ..multimodal import splice as splice_lib
-                    embeds = splice_lib.compose(
-                        params["llm"]["embed"]["weight"], vis, text_ids,
-                        is_visual, vis_index)
+                    text_emb = llm_lib.embed_tokens(
+                        params["llm"], text_ids, dtype=self.dtype)
+                    embeds = splice_lib.compose_embeds(
+                        text_emb, vis, is_visual, vis_index)
                     last, cache = llm_lib.prefill(
                         params["llm"], cfg.llm, embeds, positions,
                         valid_len, cache, attn_impl=attn_impl)
@@ -129,9 +140,10 @@ class Engine:
                                             attn_impl=attn_impl)
                     vis = jnp.take(vis, group_idx, axis=0)   # [B, N, D]
                     from ..multimodal import splice as splice_lib
-                    embeds = splice_lib.compose(
-                        params["llm"]["embed"]["weight"], vis, text_ids,
-                        is_visual, vis_index)
+                    text_emb = llm_lib.embed_tokens(
+                        params["llm"], text_ids, dtype=self.dtype)
+                    embeds = splice_lib.compose_embeds(
+                        text_emb, vis, is_visual, vis_index)
                     last, cache = llm_lib.prefill(
                         params["llm"], cfg.llm, embeds, positions,
                         valid_len, cache, attn_impl=attn_impl)
@@ -148,9 +160,10 @@ class Engine:
                               vis_index, valid_len, cache):
                 aud = vl2.encode_audio(params, cfg, fbank)
                 from ..multimodal import splice as splice_lib
-                embeds = splice_lib.compose(
-                    params["llm"]["embed"]["weight"], aud, text_ids,
-                    is_visual, vis_index)
+                text_emb = llm_lib.embed_tokens(
+                    params["llm"], text_ids, dtype=self.dtype)
+                embeds = splice_lib.compose_embeds(
+                    text_emb, aud, is_visual, vis_index)
                 positions = jnp.broadcast_to(
                     jnp.arange(text_ids.shape[1]), text_ids.shape)
                 last, cache = llm_lib.prefill(
@@ -169,9 +182,10 @@ class Engine:
                 # per-sample stack: video tokens then audio tokens (the AV
                 # template places <video> before <audio>)
                 tokens = jnp.concatenate([vis, aud], axis=1)
-                embeds = splice_lib.compose(
-                    params["llm"]["embed"]["weight"], tokens, text_ids,
-                    is_visual, vis_index)
+                text_emb = llm_lib.embed_tokens(
+                    params["llm"], text_ids, dtype=self.dtype)
+                embeds = splice_lib.compose_embeds(
+                    text_emb, tokens, is_visual, vis_index)
                 positions = jnp.broadcast_to(
                     jnp.arange(text_ids.shape[1]), text_ids.shape)
                 last, cache = llm_lib.prefill(

@@ -108,6 +108,9 @@ def init_params(rng: jax.Array, cfg: AudioConfig,
                                       (cfg.conv_pos, D // cfg.conv_pos_groups,
                                        D)),
                      "bias": jnp.zeros((D,), dtype)},
+        # encoder-level LN after the positional conv (fairseq backbone:
+        # layer_norm_first=False applies encoder.layer_norm to the input)
+        "enc_ln": ln((D,)),
         "rel_embed": normal(ks[11], (320, cfg.num_heads)),
         "layers": layers,
     }
@@ -176,6 +179,10 @@ def forward(params: dict, cfg: AudioConfig, fbank_feats: jax.Array
     if cfg.conv_pos % 2 == 0:
         pos = pos[:, :-1]
     x = x + gelu_exact(pos[:, :x.shape[1]])
+    # post-norm backbone (layer_norm_first=False): encoder.layer_norm runs
+    # on the pos-conv-augmented input before the layer stack
+    x = layer_norm(x, params["enc_ln"]["scale"], params["enc_ln"]["bias"],
+                   cfg.layer_norm_eps)
 
     S = x.shape[1]
     pos_bias = compute_position_bias(

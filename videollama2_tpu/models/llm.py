@@ -136,7 +136,14 @@ def lm_logits(params: dict, cfg: LLMConfig, hidden: jax.Array) -> jax.Array:
         # dense() runs W8A8 on TPU / dequant-in-graph elsewhere
         return dense(hidden, params["lm_head"]).astype(jnp.float32)
     if cfg.tie_word_embeddings:
-        kernel = params["embed"]["weight"].T
+        emb = params["embed"]
+        if "weight_q8" in emb:
+            # tied head over an int8 embed pack: dequant-in-graph (XLA
+            # fuses the row-scale into the matmul feed)
+            pack = emb["weight_q8"]
+            kernel = (pack["q"].astype(jnp.float32) * pack["scale"]).T
+        else:
+            kernel = emb["weight"].T
     else:
         kernel = params["lm_head"]["kernel"]
     return jnp.einsum("...d,dv->...v", hidden, kernel.astype(hidden.dtype),

@@ -122,8 +122,10 @@ def forward_train(params: dict, cfg: ModelConfig, frames: jax.Array,
     vis_tokens = encode_frames(params, cfg, frames, attn_impl=attn_impl)
     if constrain_fn is not None:
         vis_tokens = constrain_fn(vis_tokens)
-    embeds = splice_lib.compose(params["llm"]["embed"]["weight"], vis_tokens,
-                                text_ids, is_visual, vis_index)
+    text_emb = llm_lib.embed_tokens(params["llm"], text_ids,
+                                    dtype=vis_tokens.dtype)
+    embeds = splice_lib.compose_embeds(text_emb, vis_tokens, is_visual,
+                                       vis_index)
     if constrain_fn is not None:
         embeds = constrain_fn(embeds)
     hidden, _ = llm_lib.forward(params["llm"], cfg.llm, embeds, positions,
@@ -156,7 +158,9 @@ def prefill_multimodal(params: dict, cfg: ModelConfig, frames: jax.Array,
     """Inference prefill with visual splice. Returns (last_hidden, cache)."""
     vis_tokens = encode_frames(params, cfg, frames, attn_impl=attn_impl,
                                broadcast_image=broadcast_image)
-    embeds = splice_lib.compose(params["llm"]["embed"]["weight"], vis_tokens,
-                                text_ids, is_visual, vis_index)
+    text_emb = llm_lib.embed_tokens(params["llm"], text_ids,
+                                    dtype=vis_tokens.dtype)
+    embeds = splice_lib.compose_embeds(text_emb, vis_tokens, is_visual,
+                                       vis_index)
     return llm_lib.prefill(params["llm"], cfg.llm, embeds, positions,
                            valid_len, cache, attn_impl=attn_impl)

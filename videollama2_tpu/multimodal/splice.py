@@ -130,15 +130,27 @@ def plan_batch(batch_input_ids: List[Sequence[int]], tokens_per_modal,
                       valid_len=valid_len, positions=positions)
 
 
+def compose_embeds(text_emb: jax.Array, vis_tokens: jax.Array,
+                   is_visual: jax.Array, vis_index: jax.Array) -> jax.Array:
+    """Device-side splice over pre-computed text embeddings -> [B, S, D].
+
+    text_emb: [B, S, D] already-embedded text tokens (use
+    models.llm.embed_tokens, which handles int8-packed embedding tables).
+    vis_tokens: [B, N, D] per-sample connector output (N = slots * tpm).
+    """
+    vis_emb = jnp.take_along_axis(
+        vis_tokens.astype(text_emb.dtype), vis_index[..., None], axis=1)
+    return jnp.where(is_visual[..., None], vis_emb, text_emb)
+
+
 def compose(embed_weight: jax.Array, vis_tokens: jax.Array,
             text_ids: jax.Array, is_visual: jax.Array,
             vis_index: jax.Array) -> jax.Array:
     """Device-side splice -> [B, S, D] input embeddings.
 
-    embed_weight: [V, D] LLM token embedding table.
+    embed_weight: [V, D] LLM token embedding table (raw fp table only; for
+    int8-packed tables embed the text first and call compose_embeds).
     vis_tokens: [B, N, D] per-sample connector output (N = slots * tpm).
     """
     text_emb = jnp.take(embed_weight, text_ids, axis=0)      # [B, S, D]
-    vis_emb = jnp.take_along_axis(
-        vis_tokens.astype(text_emb.dtype), vis_index[..., None], axis=1)
-    return jnp.where(is_visual[..., None], vis_emb, text_emb)
+    return compose_embeds(text_emb, vis_tokens, is_visual, vis_index)

@@ -23,7 +23,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..constants import CONTROLLER_HEART_BEAT_EXPIRATION
+from ..constants import (CONTROLLER_HEART_BEAT_EXPIRATION,
+                         WORKER_HEART_BEAT_INTERVAL)
 from ..utils.logging import build_logger
 
 logger = build_logger("controller", "controller.log")
@@ -55,9 +56,71 @@ class Controller:
         self.worker_info: Dict[str, WorkerInfo] = {}
         self.dispatch_method = DispatchMethod.from_str(dispatch_method)
         self._lock = threading.Lock()
+        self._parent_addr: Optional[str] = None
+        self._self_addr: Optional[str] = None
         self._hb_thread = threading.Thread(
             target=self._heartbeat_loop, daemon=True)
         self._hb_thread.start()
+
+    # -- hierarchy (controller-as-worker) ------------------------------------
+
+    def aggregate_status(self) -> dict:
+        """This controller viewed as one worker: union of models, summed
+        speed/queue (reference controller.py:218-236 — hierarchical mode
+        for connecting isolated sub-networks)."""
+        models, speed, qlen = set(), 0, 0
+        with self._lock:
+            workers = list(self.worker_info.values())
+        for info in workers:
+            models.update(info.model_names)
+            speed += info.speed
+            qlen += info.queue_length
+        return {"model_names": sorted(models), "speed": speed,
+                "queue_length": qlen}
+
+    def register_to_parent(self, self_addr: str, parent_addr: str) -> bool:
+        """Register this controller as a worker of a parent controller and
+        start heartbeating; the parent then proxies generate streams here,
+        which this controller re-dispatches to its own workers."""
+        self._self_addr = self_addr
+        self._parent_addr = parent_addr
+        ok = self._send_parent_register()
+        threading.Thread(target=self._parent_heartbeat_loop,
+                         daemon=True).start()
+        return ok
+
+    def _send_parent_register(self) -> bool:
+        try:
+            body = json.dumps({
+                "worker_name": self._self_addr, "check_heart_beat": True,
+                "worker_status": self.aggregate_status()}).encode()
+            req = urllib.request.Request(
+                self._parent_addr + "/register_worker", data=body,
+                headers={"Content-Type": "application/json"}, method="POST")
+            with urllib.request.urlopen(req, timeout=5):
+                return True
+        except Exception as e:
+            logger.error(f"Parent register fails: {self._parent_addr}, {e}")
+            return False
+
+    def _parent_heartbeat_loop(self) -> None:
+        while True:
+            time.sleep(WORKER_HEART_BEAT_INTERVAL)
+            try:
+                body = json.dumps({
+                    "worker_name": self._self_addr,
+                    "queue_length": self.aggregate_status()["queue_length"],
+                }).encode()
+                req = urllib.request.Request(
+                    self._parent_addr + "/receive_heart_beat", data=body,
+                    headers={"Content-Type": "application/json"},
+                    method="POST")
+                with urllib.request.urlopen(req, timeout=5) as r:
+                    if not json.loads(r.read()).get("exist", False):
+                        self._send_parent_register()
+            except Exception as e:
+                logger.error(f"Parent heartbeat fails: {e}")
+                self._send_parent_register()
 
     # -- registry ----------------------------------------------------------
 
@@ -218,15 +281,7 @@ def make_handler(controller: Controller):
                     self.wfile.flush()
             elif self.path == "/worker_get_status":
                 # aggregate (controller-as-worker, controller.py:218-236)
-                models, speed, qlen = set(), 0, 0
-                with controller._lock:
-                    workers = list(controller.worker_info.items())
-                for name, info in workers:
-                    models.update(info.model_names)
-                    speed += info.speed
-                    qlen += info.queue_length
-                self._send_json({"model_names": sorted(models),
-                                 "speed": speed, "queue_length": qlen})
+                self._send_json(controller.aggregate_status())
             else:
                 self._send_json({"error": "unknown endpoint"}, 404)
 
@@ -239,10 +294,20 @@ def main():
     ap.add_argument("--port", type=int, default=10000)
     ap.add_argument("--dispatch-method", default="shortest_queue",
                     choices=["lottery", "shortest_queue"])
+    ap.add_argument("--controller-address", default=None,
+                    help="parent controller URL: register this controller "
+                         "as one of its workers (hierarchical multi-cluster "
+                         "mode, reference controller.py:218-236)")
+    ap.add_argument("--self-address", default=None,
+                    help="URL the parent should reach this controller at "
+                         "(default http://<host>:<port>)")
     args = ap.parse_args()
     controller = Controller(args.dispatch_method)
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(controller))
+    if args.controller_address:
+        self_addr = args.self_address or f"http://{args.host}:{args.port}"
+        controller.register_to_parent(self_addr, args.controller_address)
     logger.info(f"controller listening on {args.host}:{args.port}")
     server.serve_forever()
 
