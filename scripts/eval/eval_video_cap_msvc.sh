@@ -14,7 +14,7 @@ if [ ! -f "$output_file" ]; then
             --model-path ${CKPT} \
             --video-folder ${EVAL_DATA_DIR}/msvc \
             --question-file ${EVAL_DATA_DIR}/msvc/msvc.json \
-            --answer-file ${out}/${CHUNKS}_${IDX}.jsonl \
+            --output-file ${out}/${CHUNKS}_${IDX}.jsonl \
             --num-chunks $CHUNKS --chunk-idx $IDX &
     done
     wait

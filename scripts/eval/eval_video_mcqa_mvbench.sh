@@ -21,4 +21,4 @@ from videollama2_tpu.eval.common import merge_chunks
 import glob
 merge_chunks(sorted(glob.glob("${out}/${CHUNKS}_*.jsonl")), "${out}/merge.json")
 PYEOF
-python -m videollama2_tpu.eval.eval_video_mcqa_mvbench --results_file ${out}/merge.json
+python -m videollama2_tpu.eval.eval_video_mcqa_mvbench --pred_path ${out}/merge.json

@@ -12,8 +12,8 @@ for IDX in $(seq 0 $((CHUNKS-1))); do
         --model-path ${CKPT} \
         --video-folder ${EVAL_DATA_DIR}/MSVD_Zero_Shot_QA/videos \
         --question-file ${EVAL_DATA_DIR}/MSVD_Zero_Shot_QA/test_q.json \
-        --gt-file ${EVAL_DATA_DIR}/MSVD_Zero_Shot_QA/test_a.json \
-        --answer-file ${out}/${CHUNKS}_${IDX}.jsonl \
+        --answer-file ${EVAL_DATA_DIR}/MSVD_Zero_Shot_QA/test_a.json \
+        --output-file ${out}/${CHUNKS}_${IDX}.jsonl \
         --num-chunks $CHUNKS --chunk-idx $IDX &
 done
 wait

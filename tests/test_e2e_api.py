@@ -80,7 +80,10 @@ def test_model_init_quantized(ckpt, kw):
         ckpt, dtype=jnp.float32, max_len=256, buckets=(128,),
         attn_impl="xla", **kw)
     key = "kernel_q8" if kw.get("load_8bit") else "kernel_q4"
-    assert key in model.engine.params["llm"]["layers"]["q"]
+    layers = model.engine.params["llm"]["layers"]
+    # single-chip quantized serving fuses q/k/v (ops/quant.fuse_qkv)
+    assert key in layers["qkv"] and "q" not in layers
+    assert key in layers["o"]
     out = videollama2_tpu.mm_infer(None, "Hi?", model, tokenizer,
                                    modal="text", do_sample=False)
     assert isinstance(out, str) and out

@@ -6,7 +6,8 @@ import numpy as np
 
 from videollama2_tpu.eval.common import (ResultWriter, extract_choice_letter,
                                          get_chunk, merge_chunks, split_list)
-from videollama2_tpu.eval.eval_video_mcqa_videomme import score
+from videollama2_tpu.eval.eval_video_mcqa_videomme import (
+    eval_your_results, extract_characters_regex)
 
 
 def test_split_and_chunk():
@@ -53,13 +54,39 @@ def test_merge_chunks(tmp_path):
         assert len(json.load(f)) == 3
 
 
-def test_videomme_score():
-    results = [{"vid": "v1", "questions": [
-        {"question_id": "q1", "letter": "A"},
-        {"question_id": "q2", "letter": "B"}]}]
-    gt = {"q1": {"answer": "A", "duration": "short", "domain": "sports"},
-          "q2": {"answer": "C", "duration": "short", "domain": "news"}}
-    rep = score(results, gt)
-    assert rep["overall_accuracy"] == 0.5
-    assert rep["duration"]["short"]["n"] == 2
-    assert rep["domain"]["sports"]["accuracy"] == 1.0
+def test_videomme_extract_characters_regex():
+    """Reference extract_characters_regex semantics (:64-85)."""
+    assert extract_characters_regex("A") == "A"
+    assert extract_characters_regex("The best answer is (B).") == "B"
+    assert extract_characters_regex("answer C obviously") == "C"
+    # >10 words with no letter -> unanswered
+    assert extract_characters_regex(
+        "this response rambles on and on without ever picking one of "
+        "the options") == ""
+    assert extract_characters_regex("") == ""
+
+
+def test_videomme_eval_results(tmp_path, capsys):
+    """eval_your_results over the reference results-file contract."""
+    results = [
+        {"duration": "short", "domain": "Knowledge",
+         "sub_category": "Law", "missing": False,
+         "questions": [
+             {"task_type": "OCR Problems", "answer": "A", "response": "A"},
+             {"task_type": "Counting Problem", "answer": "C",
+              "response": "B"}]},
+        {"duration": "short", "domain": "Sports Competition",
+         "sub_category": "Esports", "missing": True,   # skipped
+         "questions": [
+             {"task_type": "OCR Problems", "answer": "A",
+              "response": "A"}]},
+    ]
+    p = tmp_path / "merge.json"
+    p.write_text(json.dumps(results))
+    rep = eval_your_results(str(p), video_types="short", skip_missing=True,
+                            return_task_types_accuracy=True)
+    assert rep["overall"] == {"correct": 1, "answered": 2,
+                              "accuracy": 0.5}
+    assert rep["short"]["domain"]["Knowledge"]["answered"] == 2
+    assert rep["short"]["task_type"]["OCR Problems"]["correct"] == 1
+    capsys.readouterr()

@@ -1,6 +1,10 @@
 """MVBench scorer: per-task accuracy table.
 
-Parity: reference videollama2/eval/eval_video_mcqa_mvbench.py:30-64.
+Parity: reference videollama2/eval/eval_video_mcqa_mvbench.py — same
+prediction-file contract (JSONL of {"pred": idx, "gt": idx, "task_type":
+display-name}, `--pred_path`), same per-task percentage accuracies and
+overall score; the 4-per-row tabulate layout is replaced by an aligned
+plain-text table (tabulate is not in this image) with identical numbers.
 """
 
 from __future__ import annotations
@@ -10,35 +14,35 @@ import json
 from collections import defaultdict
 
 
+def score(results) -> dict:
+    """-> {"overall": pct, "tasks": {task_type: pct}} (reference :34-45)."""
+    acc = []
+    task_acc = defaultdict(list)
+    for x in results:
+        value = 1 if x["pred"] == x["gt"] else 0
+        acc.append(value)
+        task_acc[x["task_type"]].append(value)
+    overall = sum(acc) * 100 / max(len(acc), 1)
+    tasks = {t: sum(v) * 100 / len(v) for t, v in task_acc.items()}
+    return {"overall": overall, "tasks": tasks}
+
+
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--results_file", required=True)
+    ap = argparse.ArgumentParser(description="Evaluate MVBench predictions.")
+    ap.add_argument("--pred_path", required=True,
+                    help="JSONL predictions: {'pred','gt','task_type'}")
     args = ap.parse_args()
 
-    with open(args.results_file) as f:
+    with open(args.pred_path) as f:
         text = f.read().strip()
     results = (json.loads(text) if text.startswith("[")
                else [json.loads(l) for l in text.splitlines()])
 
-    per_task = defaultdict(lambda: [0, 0])
-    for r in results:
-        if r.get("gt") is None:
-            continue
-        per_task[r["task"]][0] += int(r["letter"] == r["gt"])
-        per_task[r["task"]][1] += 1
-
-    rows = []
-    total_c = total_n = 0
-    for task in sorted(per_task):
-        c, n = per_task[task]
-        rows.append((task, c / max(n, 1), n))
-        total_c += c
-        total_n += n
-    width = max(len(t) for t, _, _ in rows) if rows else 10
-    print(f"{'task':<{width}}  acc     n")
-    for task, acc, n in rows:
-        print(f"{task:<{width}}  {acc:.4f}  {n}")
-    print(f"{'OVERALL':<{width}}  {total_c / max(total_n, 1):.4f}  {total_n}")
+    rep = score(results)
+    print(f"{args.pred_path}:", rep["overall"])
+    width = max((len(t) for t in rep["tasks"]), default=10)
+    for task in sorted(rep["tasks"]):
+        print(f"{task:<{width}}  {rep['tasks'][task]:.1f}")
 
 
 if __name__ == "__main__":

@@ -235,14 +235,21 @@ def main():
         text = f.read().strip()
     preds = (json.loads(text) if text.startswith("[")
              else [json.loads(l) for l in text.splitlines()])
-    by_id = {str(p.get("question_id", i)): p for i, p in enumerate(preds)}
+    by_id = {str(p.get("question_id", p.get("id", i))): p
+             for i, p in enumerate(preds)}
 
     def annotate(qid: str):
         p = by_id[qid]
+        # accept both this repo's generic keys and the reference drivers'
+        # record shapes: activitynet {'id','question','answer','pred'},
+        # vcgpt general {'Q','A','P'}, consistency {'Q1','Q2','A','P1','P2'},
+        # msvc {'question','answer','pred'}
         user = judge["user"].format(
-            question=p.get("question", ""), answer=p.get("answer", ""),
-            pred=p.get("pred", ""), question2=p.get("question2", ""),
-            pred2=p.get("pred2", ""))
+            question=p.get("question", p.get("Q", p.get("Q1", ""))),
+            answer=p.get("answer", p.get("A", "")),
+            pred=p.get("pred", p.get("P", p.get("P1", ""))),
+            question2=p.get("question2", p.get("Q2", "")),
+            pred2=p.get("pred2", p.get("P2", "")))
         result = parse_judgment(call(judge["system"], user))
         with open(os.path.join(args.output_dir, f"{qid}.json"), "w") as f:
             json.dump({"id": qid, **result}, f)

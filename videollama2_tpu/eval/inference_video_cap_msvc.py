@@ -1,7 +1,11 @@
 """MSVC multi-source video captioning inference.
 
-Parity: reference videollama2/eval/inference_video_cap_msvc.py — one caption
-per video, judged later for correctness/detailedness by gpt_judge.
+Parity: reference videollama2/eval/inference_video_cap_msvc.py — input
+records carry {'video_path', 'question', 'captions'} (:41-46), the record's
+own question is the prompt, and output records are {'video_name',
+'question', 'answer', 'pred'} JSONL written to --output-file (:100-101);
+the per-video multi-reference captions ride through as `answer` for the
+GPT-judge correctness/detailedness scorers.
 """
 
 from __future__ import annotations
@@ -12,15 +16,13 @@ import os
 
 from .common import ResultWriter, get_chunk, run_inference_loop
 
-CAPTION_PROMPT = "Please describe the video in detail."
-
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model-path", required=True)
     ap.add_argument("--video-folder", required=True)
     ap.add_argument("--question-file", required=True)
-    ap.add_argument("--answer-file", required=True)
+    ap.add_argument("--output-file", required=True)
     ap.add_argument("--num-chunks", type=int, default=1)
     ap.add_argument("--chunk-idx", type=int, default=0)
     args = ap.parse_args()
@@ -29,20 +31,23 @@ def main():
     model, processor, tokenizer = model_init(args.model_path)
 
     with open(args.question_file) as f:
-        items_in = json.load(f)
-    items_in = get_chunk(items_in, args.num_chunks, args.chunk_idx)
-    writer = ResultWriter(args.answer_file, key="index")
+        gt_questions = json.load(f)
+    gt_questions = get_chunk(gt_questions, args.num_chunks, args.chunk_idx)
+    writer = ResultWriter(args.output_file, key="index")
 
     def infer(item):
-        path = os.path.join(args.video_folder, item["video_path"]
-                            if "video_path" in item else item["video"])
-        tensor = processor["video"](path)
-        pred = mm_infer(tensor, CAPTION_PROMPT, model, tokenizer,
-                        modal="video", max_new_tokens=512)
-        return dict(video=os.path.basename(path), pred=pred,
-                    answer=item.get("captions", item.get("answer")))
+        video_name = item["video_path"]
+        question = item["question"]
+        answer = item["captions"]
+        tensor = processor["video"](os.path.join(args.video_folder,
+                                                 video_name))
+        pred = mm_infer(tensor, question, model, tokenizer, modal="video",
+                        do_sample=False, max_new_tokens=512)
+        # reference record shape (:100)
+        return {"video_name": video_name, "question": question,
+                "answer": answer, "pred": pred}
 
-    items = [dict(x, index=i) for i, x in enumerate(items_in)]
+    items = [dict(x, index=i) for i, x in enumerate(gt_questions)]
     run_inference_loop(items, infer, writer, desc="msvc")
     writer.close()
 

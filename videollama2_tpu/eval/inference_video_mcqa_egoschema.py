@@ -37,13 +37,21 @@ def main():
 
     def infer(item):
         quid = item["q_uid"]
-        video_path = os.path.join(args.video_folder, f"{quid}.mp4")
+        video_path = None
+        for fmt in (".mp4", ".avi", ".mov", ".mkv", ".gif"):
+            p = os.path.join(args.video_folder, f"{quid}{fmt}")
+            if os.path.exists(p):
+                video_path = p
+                break
         options = [item[f"option {i}"] for i in range(5)]
+        # the reference's exact instruct (:63)
         prompt = ("Select the best answer to the following multiple-choice "
-                  "question based on the video.\n" + item["question"] + "\n" +
+                  "question based on the video.\n" + item["question"] +
+                  "\nOptions:\n" +
                   "\n".join(f"({l}) {o}" for l, o in zip(LETTERS, options)) +
                   "\nAnswer with the option's letter from the given choices "
-                  "directly and only give the best option.")
+                  "directly and only give the best option. The best answer "
+                  "is: ")
         try:
             tensor = processor["video"](video_path)
             resp = mm_infer(tensor, prompt, model, tokenizer, modal="video",

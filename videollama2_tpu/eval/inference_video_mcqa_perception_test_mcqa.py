@@ -37,7 +37,12 @@ def main():
 
     def infer(item):
         vid = item["vid"]
-        video_path = os.path.join(args.video_folder, f"{vid}.mp4")
+        video_path = None
+        for fmt in (".mp4", ".avi", ".mov", ".mkv", ".gif"):
+            p = os.path.join(args.video_folder, f"{vid}{fmt}")
+            if os.path.exists(p):
+                video_path = p
+                break
         try:
             tensor = processor["video"](video_path)
         except Exception:
@@ -45,12 +50,12 @@ def main():
         answers = []
         for q in data[vid].get("mc_question", []):
             options = q["options"]
-            prompt = ("Select the best answer to the following "
-                      "multiple-choice question based on the video.\n" +
-                      q["question"] + "\n" +
-                      "\n".join(f"({l}) {o}"
-                                for l, o in zip(LETTERS, options)) +
-                      "\nOnly give the best option.")
+            # the reference's exact instruct (:61)
+            prompt = (f"Question: {q['question']}\nOptions:\n"
+                      f"(A) {options[0]}\n(B) {options[1]}\n"
+                      f"(C) {options[2]}\n"
+                      "Answer with the option's letter from the given "
+                      "choices directly and only give the best option.")
             try:
                 if tensor is None:
                     raise ValueError("video unavailable")
@@ -59,6 +64,7 @@ def main():
                 letter = extract_choice_letter(resp, options, letters=LETTERS)
             except Exception:
                 letter = "C"
+            # reference record shape (:147): per-question id/answer_id/answer
             answers.append(dict(id=q["id"], answer_id=LETTERS.index(letter),
                                 answer=options[LETTERS.index(letter)]))
         return {"vid": vid, "answers": answers}

@@ -2,8 +2,11 @@
 temporal) and consistency modes.
 
 Parity: reference videollama2/eval/inference_video_oqa_vcgpt_general.py and
-_consistency.py (:45-124) — the consistency benchmark asks two paraphrased
-questions per video and records both predictions.
+_consistency.py — input records carry {'video_name', 'Q', 'A'} (general) or
+{'video_name', 'Q1', 'Q2', 'A'} (consistency, :43-48); the raw question is
+the prompt; output records are {'video_name', 'Q', 'A', 'P'} /
+{'video_name', 'Q1', 'Q2', 'A', 'P1', 'P2'} JSONL (general :110, consistency
+:124); videos resolve over the 5-extension list.
 """
 
 from __future__ import annotations
@@ -36,27 +39,25 @@ def main():
     writer = ResultWriter(args.answer_file, key="index")
 
     def infer(item):
-        name = item.get("video_name") or item.get("video")
+        name = item["video_name"]
         video_path = resolve_video(args.video_folder, name)
         if video_path is None:
             return dict(video_name=name, missing=True)
         tensor = processor["video"](video_path)
         if args.mode == "general":
-            q = item.get("question") or item.get("Q")
+            q, a = item["Q"], item["A"]
             pred = mm_infer(tensor, q, model, tokenizer, modal="video",
-                            max_new_tokens=512)
-            return dict(video_name=name, question=q,
-                        answer=item.get("answer") or item.get("A"),
-                        pred=pred)
-        q1 = item.get("question_1") or item.get("Q1")
-        q2 = item.get("question_2") or item.get("Q2")
+                            do_sample=False, max_new_tokens=512)
+            # reference record shape (general :110)
+            return {"video_name": name, "Q": q, "A": a, "P": pred}
+        q1, q2, a = item["Q1"], item["Q2"], item["A"]
         pred1 = mm_infer(tensor, q1, model, tokenizer, modal="video",
-                         max_new_tokens=512)
+                         do_sample=False, max_new_tokens=512)
         pred2 = mm_infer(tensor, q2, model, tokenizer, modal="video",
-                         max_new_tokens=512)
-        return dict(video_name=name, question=q1, question2=q2,
-                    answer=item.get("answer") or item.get("A"),
-                    pred=pred1, pred2=pred2)
+                         do_sample=False, max_new_tokens=512)
+        # reference record shape (consistency :124)
+        return {"video_name": name, "Q1": q1, "Q2": q2, "A": a,
+                "P1": pred1, "P2": pred2}
 
     items = [dict(q, index=str(q.get("video_name", q.get("video", i))) +
                   f":{i}")

@@ -124,6 +124,20 @@ def _read_gif(path: str) -> List[np.ndarray]:
     return frames
 
 
+def probe_video(video_path: str):
+    """-> (num_frames, fps) for any supported container (file/dir/gif),
+    using the same fps conventions as read_video_frames."""
+    if os.path.isdir(video_path):
+        return len(sorted(os.listdir(video_path))), 3.0
+    if video_path.endswith(".gif"):
+        return len(_read_gif(video_path)), 25.0
+    vr = VideoReader(video_path)
+    try:
+        return len(vr), vr.get_avg_fps()
+    finally:
+        vr.close()
+
+
 def read_video_frames(video_path: str, num_frames: Optional[int],
                       s: Optional[float] = None,
                       e: Optional[float] = None) -> List[np.ndarray]:
