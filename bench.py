@@ -54,6 +54,10 @@ def _run(quantize_llm: bool):
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    try:  # log WHY a compile missed the persistent cache (warmup diagnosis)
+        jax.config.update("jax_explain_cache_misses", True)
+    except Exception:
+        pass
 
     from videollama2_tpu.core import config as cfglib
     from videollama2_tpu.inference.engine import Engine, GenerationConfig
@@ -130,18 +134,28 @@ def _run(quantize_llm: bool):
         + list(rng.integers(10, 1000, 12))
 
     print(f"[bench] params built ({wcfg})", file=sys.stderr, flush=True)
+    t0 = time.time()
     eng = Engine(cfg, params,
                  dtype=jnp.bfloat16 if on_tpu else jnp.float32,
                  max_len=(2048 + DECODE_TOKENS) if on_tpu else 128,
                  buckets=(2048,) if on_tpu else (64,),
                  decode_chunk=DECODE_TOKENS)
+    # split warmup attribution: the Engine constructor device_puts the full
+    # ~7.5 GB param tree over the (possibly tunnel-serialized) host->device
+    # link — block on EVERY leaf so transfer time isn't booked to "compile"
+    jax.block_until_ready(eng.params)
+    np.asarray(jax.tree.leaves(eng.params)[0].ravel()[:8])
+    t_params = time.time() - t0
+    print(f"[bench] engine built + params on device in {t_params:.1f}s",
+          file=sys.stderr, flush=True)
     gen = GenerationConfig(max_new_tokens=DECODE_TOKENS)
 
     # warmup (compile)
     t0 = time.time()
     print("[bench] compiling/warmup...", file=sys.stderr, flush=True)
     eng.generate([prompt] * BATCH, frames=frames, gen=gen, eos_token_id=-1)
-    print(f"[bench] warmup done in {time.time() - t0:.1f}s",
+    t_warmup = time.time() - t0
+    print(f"[bench] warmup done in {t_warmup:.1f}s",
           file=sys.stderr, flush=True)
 
     # distinct frames per iteration: guards against any execution-level
@@ -152,28 +166,34 @@ def _run(quantize_llm: bool):
     frame_sets = [rng.integers(0, 255, (BATCH, T, H, H, 3), dtype=np.uint8)
                   for _ in range(iters)]
 
-    if os.environ.get("BENCH_BREAKDOWN"):
-        # stage attribution (stderr): host->device transfer, prefill(+encode)
-        # to first token, decode chunk — each bounded by a device readback
-        fr = frame_sets[0]
-        t0 = time.time()
-        dev_frames = jax.device_put(fr)
-        np.asarray(dev_frames.ravel()[:8])
-        print(f"[bench] transfer {fr.nbytes/1e6:.0f} MB: "
-              f"{time.time()-t0:.3f}s", file=sys.stderr, flush=True)
-        stamps = {}
+    # stage attribution (always measured, emitted in the JSON `breakdown`
+    # so the analytic-A100 comparison is auditable stage-by-stage and a
+    # future measured-GPU number drops in): host->device transfer,
+    # encode+prefill to first token, decode chunk — each bounded by a
+    # device readback
+    fr = frame_sets[0]
+    t0 = time.time()
+    dev_frames = jax.device_put(fr)
+    np.asarray(dev_frames.ravel()[:8])
+    t_transfer = time.time() - t0
+    print(f"[bench] transfer {fr.nbytes/1e6:.0f} MB: "
+          f"{t_transfer:.3f}s", file=sys.stderr, flush=True)
+    stamps = {}
 
-        def cb(b, toks):
-            stamps.setdefault(len(toks), time.time())
-        t0 = time.time()
-        eng.generate([prompt] * BATCH, frames=fr, gen=gen, eos_token_id=-1,
-                     stream_cb=cb)
-        t_end = time.time()
-        t_first = min(stamps.values())
-        print(f"[bench] encode+prefill+first-token: {t_first-t0:.3f}s; "
-              f"decode rest: {t_end-t_first:.3f}s "
-              f"({(t_end-t_first)/max(DECODE_TOKENS-1,1)*1e3:.1f} ms/tok); "
-              f"total {t_end-t0:.3f}s", file=sys.stderr, flush=True)
+    def cb(b, toks):
+        stamps.setdefault(len(toks), time.time())
+    t0 = time.time()
+    eng.generate([prompt] * BATCH, frames=fr, gen=gen, eos_token_id=-1,
+                 stream_cb=cb)
+    t_end = time.time()
+    t_first = min(stamps.values())
+    t_prefill = t_first - t0
+    decode_ms_per_tok = ((t_end - t_first)
+                         / max(DECODE_TOKENS - 1, 1) * 1e3)
+    print(f"[bench] encode+prefill+first-token: {t_prefill:.3f}s; "
+          f"decode rest: {t_end-t_first:.3f}s "
+          f"({decode_ms_per_tok:.1f} ms/tok); "
+          f"total {t_end-t0:.3f}s", file=sys.stderr, flush=True)
 
     # pipelined upload: batch i+1's frames stream host->device while batch
     # i computes (Engine.upload_frames), the steady state of any serving
@@ -207,6 +227,21 @@ def _run(quantize_llm: bool):
         "value": round(videos_per_sec, 4),
         "unit": "videos/sec",
         "vs_baseline": round(videos_per_sec * 8 / baseline, 4),
+        # machine-readable stage split (VERDICT r2 #7): audits the analytic
+        # comparison per stage; slot a measured A100 in alongside later
+        "breakdown": {
+            "weights": wcfg, "model": model, "batch": BATCH, "frames": T,
+            "params_to_device_s": round(t_params, 3),
+            "warmup_compile_s": round(t_warmup, 3),
+            "transfer_s": round(t_transfer, 3),
+            "transfer_mb": round(fr.nbytes / 1e6, 1),
+            "encode_prefill_first_token_s": round(t_prefill, 3),
+            "decode_ms_per_tok": round(decode_ms_per_tok, 2),
+            "iter_times_s": [round(t, 3) for t in times],
+            "median_iter_s": round(dt, 3),
+            "per_chip_videos_per_sec": round(videos_per_sec, 4),
+            "analytic_a100_videos_per_sec": baseline,
+        },
     }
 
 

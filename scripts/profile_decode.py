@@ -51,6 +51,9 @@ def main():
                     "scale": scale}
             layers[name] = e
         lparams["layers"] = layers
+        if names and os.environ.get("FUSEQKV", "1") == "1":
+            from videollama2_tpu.ops import quant as quant_lib
+            lparams = quant_lib.fuse_qkv(lparams)
     lparams = jax.device_put(lparams, dev)
 
     M = int(os.environ.get("MAXLEN", "2080"))

@@ -55,7 +55,8 @@ class Engine:
                  buckets: Sequence[int] = DEFAULT_BUCKETS,
                  attn_impl: str = "auto", decode_chunk: int = DECODE_CHUNK,
                  shard_fn: Optional[Callable] = None,
-                 w8a8_prefill: bool = True):
+                 w8a8_prefill: bool = True,
+                 fuse_qkv: bool = True):
         if cfg.llm.is_moe and cfg.llm.moe_dispatch == "auto":
             # Inference defaults to exact dense dispatch: the capacity-based
             # gather drops over-capacity tokens under router imbalance (a
@@ -89,6 +90,14 @@ class Engine:
         self.params = jax.tree.map(_cast, params)
         if shard_fn is not None:
             self.params = shard_fn(self.params)
+        elif fuse_qkv and "llm" in self.params:
+            # single-chip quantized serving: fuse the q/k/v packs so decode
+            # issues one layer-indexed kernel per attention projection set
+            # (no-op on unquantized or LoRA-carrying params); skipped when
+            # sharded — TP rules address q/k/v separately
+            from ..ops import quant as quant_lib
+            self.params = dict(self.params,
+                               llm=quant_lib.fuse_qkv(self.params["llm"]))
         self._prefill_cache = {}
         self._decode_fn = None
         self._encode_fn = None

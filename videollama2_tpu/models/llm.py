@@ -244,9 +244,16 @@ def _attention_block(cfg: LLMConfig, x: jax.Array, lp: dict,
     from ..parallel import sharding as sh
     B, S, D = x.shape
     H, K, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    q = sh.sp_shard_heads(dense(x, lp["q"]).reshape(B, S, H, hd))
-    k = sh.sp_shard_heads(dense(x, lp["k"]).reshape(B, S, K, hd))
-    v = sh.sp_shard_heads(dense(x, lp["v"]).reshape(B, S, K, hd))
+    if "qkv" in lp:
+        # fused serving pack (ops/quant.fuse_qkv): one matmul, split columns
+        qkv = dense(x, lp["qkv"])
+        q, k, v = (qkv[..., :H * hd], qkv[..., H * hd:(H + K) * hd],
+                   qkv[..., (H + K) * hd:])
+    else:
+        q, k, v = dense(x, lp["q"]), dense(x, lp["k"]), dense(x, lp["v"])
+    q = sh.sp_shard_heads(q.reshape(B, S, H, hd))
+    k = sh.sp_shard_heads(k.reshape(B, S, K, hd))
+    v = sh.sp_shard_heads(v.reshape(B, S, K, hd))
     q, k = apply_rope(q, k, cos, sin)
     out = attn_ops.attend(q, k, v, valid_len=valid_len, causal=True,
                           window=cfg.sliding_window, impl=attn_impl)
@@ -357,7 +364,8 @@ def decode_step(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
     mask = mask[:, None, None, :]
 
     layers = params["layers"]
-    proj = ("q", "k", "v", "o", "gate", "up", "down")
+    proj = (("qkv",) if "qkv" in layers else ("q", "k", "v")) + \
+        ("o", "gate", "up", "down")
     for pack, bits in (("kernel_q8", 8), ("kernel_q4", 4)):
         if not cfg.is_moe and all(
                 pack in layers[n] and "lora" not in layers[n]
@@ -374,9 +382,15 @@ def decode_step(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
         h = rms_norm(x, lp["attn_norm"]["scale"], cfg.rms_norm_eps)
         H, K, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
         M_ = ck.shape[1]
-        q = dense(h, lp["q"]).reshape(B, 1, H, hd)
-        k = dense(h, lp["k"]).reshape(B, 1, K, hd)
-        v = dense(h, lp["v"]).reshape(B, 1, K, hd)
+        if "qkv" in lp:
+            qkv = dense(h, lp["qkv"])
+            q, k, v = (qkv[..., :H * hd], qkv[..., H * hd:(H + K) * hd],
+                       qkv[..., (H + K) * hd:])
+        else:
+            q, k, v = dense(h, lp["q"]), dense(h, lp["k"]), dense(h, lp["v"])
+        q = q.reshape(B, 1, H, hd)
+        k = k.reshape(B, 1, K, hd)
+        v = v.reshape(B, 1, K, hd)
         q, k = apply_rope(q, k, cos, sin)
         ck = jax.lax.dynamic_update_slice(
             ck, k.reshape(B, 1, K * hd).astype(ck.dtype), (0, write_pos, 0))
@@ -433,22 +447,24 @@ def _decode_step_q8(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
     H, K, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     L = cfg.num_layers
     layers = params["layers"]
+    fused_qkv = "qkv" in layers
+    attn_names = ("qkv",) if fused_qkv else ("q", "k", "v")
     if bits == 8:
         big = {n: layers[n]["kernel_q8"]
-               for n in ("q", "k", "v", "o", "gate", "up", "down")}
+               for n in attn_names + ("o", "gate", "up", "down")}
         mm = lambda h, e, li: dk.matmul_q8_layered(  # noqa: E731
             h, e["q"], e["scale"], li)
         ffn_fn = dk.ffn_q8_layered
     else:
         big = {n: layers[n]["kernel_q4"]
-               for n in ("q", "k", "v", "o", "gate", "up", "down")}
+               for n in attn_names + ("o", "gate", "up", "down")}
         mm = lambda h, e, li: dk.matmul_q4_layered(  # noqa: E731
             h, e["q4"], e["scale"], li)
         ffn_fn = dk.ffn_q4_layered
 
     small = {"attn_norm": layers["attn_norm"]["scale"],
              "mlp_norm": layers["mlp_norm"]["scale"]}
-    for n in ("q", "k", "v", "o"):
+    for n in attn_names + ("o",):
         if layers[n].get("bias") is not None:
             small[n + "_bias"] = layers[n]["bias"]
     del mask  # the kernel computes masking from valid_len/write_pos
@@ -459,13 +475,23 @@ def _decode_step_q8(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
         sp, li = scan_in
         h = rms_norm(x, sp["attn_norm"], cfg.rms_norm_eps)
         h2 = h[:, 0]                                   # [B, D]
-        q = mm(h2, big["q"], li)
-        k = mm(h2, big["k"], li)
-        v = mm(h2, big["v"], li)
-        if "q_bias" in sp:
-            q = q + sp["q_bias"].astype(q.dtype)
-            k = k + sp["k_bias"].astype(k.dtype)
-            v = v + sp["v_bias"].astype(v.dtype)
+        if fused_qkv:
+            # one layer-indexed kernel over the concatenated pack: one
+            # launch + one activation feed instead of three (VERDICT r2 #3)
+            qkv = mm(h2, big["qkv"], li)
+            if "qkv_bias" in sp:
+                qkv = qkv + sp["qkv_bias"].astype(qkv.dtype)
+            q = qkv[:, :H * hd]
+            k = qkv[:, H * hd:(H + K) * hd]
+            v = qkv[:, (H + K) * hd:]
+        else:
+            q = mm(h2, big["q"], li)
+            k = mm(h2, big["k"], li)
+            v = mm(h2, big["v"], li)
+            if "q_bias" in sp:
+                q = q + sp["q_bias"].astype(q.dtype)
+                k = k + sp["k_bias"].astype(k.dtype)
+                v = v + sp["v_bias"].astype(v.dtype)
         q = q.reshape(B, 1, H, hd)
         k = k.reshape(B, 1, K, hd)
         v = v.reshape(B, 1, K, hd)

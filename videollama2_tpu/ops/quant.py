@@ -118,6 +118,45 @@ def quantize_llm_params(llm_params: Dict, bits: int = 8,
     return out
 
 
+def fuse_qkv(llm_params: Dict) -> Dict:
+    """Fuse the quantized q/k/v projection packs into one `qkv` entry.
+
+    The decode hot path then issues ONE layer-indexed Pallas matmul over the
+    concatenated [L, D, (H + 2*Hkv) * hd] pack instead of three (one kernel
+    launch and one activation feed per layer instead of three), and prefill
+    computes the fused product and splits columns. Concatenation is along
+    the OUTPUT axis, so both int8 ([L, D, Dout]) and folded int4
+    ([L, D/2, Dout]) layouts fuse unchanged; per-output-channel scales and
+    qkv biases concatenate alongside. No-op (returns the input) when any of
+    q/k/v is unquantized or carries unmerged LoRA adapters (per-projection
+    deltas need the split layout). Single-chip serving only: TP sharding
+    rules address q/k/v separately — apply before shard-free Engine use.
+    """
+    layers = llm_params.get("layers", {})
+    names = ("q", "k", "v")
+    kind = None
+    for k in ("kernel_q8", "kernel_q4"):
+        if all(k in layers.get(n, {}) for n in names):
+            kind = k
+    if kind is None or any("lora" in layers.get(n, {}) for n in names):
+        return llm_params
+    packs = [layers[n][kind] for n in names]
+    qkey = "q" if kind == "kernel_q8" else "q4"
+    fused_pack = {
+        qkey: jnp.concatenate([p[qkey] for p in packs], axis=-1),
+        "scale": jnp.concatenate([p["scale"] for p in packs], axis=-1),
+    }
+    fused = {kind: fused_pack}
+    if all(layers[n].get("bias") is not None for n in names):
+        fused["bias"] = jnp.concatenate([layers[n]["bias"] for n in names],
+                                        axis=-1)
+    out = dict(llm_params)
+    new_layers = {n: e for n, e in layers.items() if n not in names}
+    new_layers["qkv"] = fused
+    out["layers"] = new_layers
+    return out
+
+
 def materialize_quantized(llm_params: Dict, dtype=jnp.bfloat16) -> Dict:
     """Dequantize-in-graph: returns a param view whose kernels are rebuilt
     from int8/int4 inside jit (XLA fuses the dequant into the consumer)."""
