@@ -48,7 +48,7 @@ def serve_stack(tmp_path_factory):
     worker.controller_addr = f"http://localhost:{ctrl_port}"
     worker.model_name = "tiny"
     worker.model, worker.processor, worker.tokenizer = api_lib.model_init(
-        ckpt, dtype=jnp.float32, max_len=128, buckets=(64,),
+        ckpt, dtype=jnp.float32, max_len=256, buckets=(64, 192),
         attn_impl="xla")
     worker.semaphore = threading.Semaphore(2)
     worker.limit_concurrency = 2
@@ -149,3 +149,66 @@ def test_worker_status_endpoints(serve_stack):
     with _post(f"http://localhost:{wrk_port}/count_token",
                {"prompt": "the cat"}) as r:
         assert json.loads(r.read())["count"] >= 1
+    # message-list prompts (multi-turn web clients) count too
+    with _post(f"http://localhost:{wrk_port}/count_token",
+               {"prompt": [{"role": "user", "content": "the cat"},
+                           {"role": "assistant", "content": "sits"}]}) as r:
+        assert json.loads(r.read())["count"] >= 2
+
+
+def test_worker_multiturn_message_list(serve_stack):
+    """Multi-turn: the worker accepts an mm_infer message list as `prompt`
+    (what web_server._messages produces for history-carrying chats)."""
+    _, _, _, wrk_port = serve_stack
+    msgs = [{"role": "user", "content": "what is the cat doing ?"},
+            {"role": "assistant", "content": "the cat sits."},
+            {"role": "user", "content": "and the dog ?"}]
+    with _post(f"http://localhost:{wrk_port}/worker_generate_stream",
+               {"prompt": msgs, "temperature": 0.0, "max_new_tokens": 4},
+               timeout=600) as r:
+        raw = r.read()
+    chunks = [json.loads(c) for c in raw.split(b"\0") if c]
+    assert chunks and chunks[-1]["error_code"] == 0
+
+
+def test_worker_base64_video(serve_stack, tmp_path):
+    """Web/proxy clients without a shared filesystem send the video body
+    base64-embedded (`videos`); the worker spools + decodes it."""
+    import base64
+
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    frames = [Image.fromarray(rng.integers(0, 255, (32, 32, 3),
+                                           dtype=np.uint8))
+              for _ in range(4)]
+    gif = tmp_path / "clip.gif"
+    frames[0].save(str(gif), save_all=True, append_images=frames[1:],
+                   duration=50)
+    b64 = base64.b64encode(gif.read_bytes()).decode()
+    with _post(f"http://localhost:{wrk_port_of(serve_stack)}"
+               "/worker_generate_stream",
+               {"prompt": "describe the video", "videos": [b64],
+                "video_name": "clip.gif", "temperature": 0.0,
+                "max_new_tokens": 4}, timeout=600) as r:
+        raw = r.read()
+    chunks = [json.loads(c) for c in raw.split(b"\0") if c]
+    assert chunks and chunks[-1]["error_code"] == 0
+
+
+def wrk_port_of(serve_stack):
+    return serve_stack[3]
+
+
+def test_web_server_messages_helper():
+    from videollama2_tpu.serve.web_server import WebBackend
+
+    msgs = WebBackend._messages(
+        {"prompt": "and now ?",
+         "history": [["hi", "hello"], ["more", "sure"]]})
+    assert msgs == [{"role": "user", "content": "hi"},
+                    {"role": "assistant", "content": "hello"},
+                    {"role": "user", "content": "more"},
+                    {"role": "assistant", "content": "sure"},
+                    {"role": "user", "content": "and now ?"}]

@@ -15,6 +15,8 @@ import argparse
 import base64
 import io
 import json
+import os
+import tempfile
 import threading
 import time
 import urllib.request
@@ -121,9 +123,24 @@ class ModelWorker:
         num_frames = self.model.config.num_frames
         images = params.get("images", None)
         video = params.get("video", None)
+        videos_b64 = params.get("videos", None)
+        if videos_b64:
+            # base64-embedded video (web/proxy clients without a shared
+            # filesystem): spool to a temp file for the container-sniffing
+            # decoder
+            name = params.get("video_name", "clip.mp4")
+            suffix = os.path.splitext(name)[1] or ".mp4"
+            with tempfile.NamedTemporaryFile(suffix=suffix,
+                                             delete=False) as f:
+                f.write(base64.b64decode(videos_b64[0]))
+                video = f.name
         if video:
-            tensor = process_video(video, vis_cfg, aspect_ratio=None,
-                                   num_frames=num_frames)
+            try:
+                tensor = process_video(video, vis_cfg, aspect_ratio=None,
+                                       num_frames=num_frames)
+            finally:
+                if videos_b64:
+                    os.unlink(video)
             return tensor, "video"
         if images:
             img = Image.open(io.BytesIO(
@@ -134,8 +151,12 @@ class ModelWorker:
 
     def generate_stream(self, params: dict) -> Iterator[bytes]:
         from ..inference.api import mm_infer
+        # `prompt` is a string (single turn) or an mm_infer message list
+        # [{role, content}, ...] (multi-turn web/proxy clients)
         prompt = params["prompt"]
-        if not _check_safety(prompt):
+        gate_text = prompt if isinstance(prompt, str) else " ".join(
+            str(m.get("content", "")) for m in prompt)
+        if not _check_safety(gate_text):
             yield json.dumps({"text": "input violates safety policy.",
                               "error_code": 1}).encode() + b"\0"
             return
@@ -232,7 +253,10 @@ def make_handler(worker: ModelWorker):
                     {"context_length":
                      worker.model.config.llm.max_position_embeddings})
             elif self.path == "/count_token":
-                n = len(worker.tokenizer(data.get("prompt", "")).input_ids)
+                p = data.get("prompt", "")
+                if not isinstance(p, str):  # message-list prompts
+                    p = " ".join(str(m.get("content", "")) for m in p)
+                n = len(worker.tokenizer(p).input_ids)
                 self._send_json({"count": n, "error_code": 0})
             else:
                 self._send_json({"error": "unknown endpoint"}, 404)

@@ -37,21 +37,18 @@ textarea { width: 100%; } button { margin-top: .5em; }
 <p><input type="file" id="media" accept="image/*,video/*"></p>
 <textarea id="msg" rows="3" placeholder="Ask about the image/video..."></textarea>
 <button onclick="send()">Send</button>
+<button onclick="regenerate()">&#128257; Regenerate</button>
+<button onclick="clearChat()">&#128465; Clear</button>
 <button onclick="vote(1)">&#128077;</button>
 <button onclick="vote(-1)">&#128078;</button>
 <script>
-let history = [];
-async function send() {
-  const msg = document.getElementById('msg').value;
-  const file = document.getElementById('media').files[0];
+let history = [];       // [user, assistant] pairs (gradio state parity)
+let media = null;       // {media_b64, media_name} persisted across turns
+async function run(msg) {
   const chat = document.getElementById('chat');
   chat.innerHTML += '<div class="user">USER: ' + msg + '</div>';
   const body = {prompt: msg, history: history};
-  if (file) {
-    const buf = await file.arrayBuffer();
-    body.media_b64 = btoa(String.fromCharCode(...new Uint8Array(buf)));
-    body.media_name = file.name;
-  }
+  if (media) Object.assign(body, media);
   const div = document.createElement('div');
   div.className = 'bot'; div.textContent = 'ASSISTANT: ...';
   chat.appendChild(div);
@@ -76,6 +73,28 @@ async function send() {
   }
   history.push([msg, text]);
 }
+async function send() {
+  const file = document.getElementById('media').files[0];
+  if (file) {  // new upload resets the conversation (adhoc-server heuristic)
+    const buf = await file.arrayBuffer();
+    media = {media_b64: btoa(String.fromCharCode(...new Uint8Array(buf))),
+             media_name: file.name};
+    history = [];
+    document.getElementById('media').value = '';
+  }
+  await run(document.getElementById('msg').value);
+}
+async function regenerate() {
+  // drop the last exchange and re-ask the same question
+  // (gradio_web_server.py regenerate flow)
+  if (!history.length) return;
+  const last = history.pop();
+  await run(last[0]);
+}
+function clearChat() {
+  history = []; media = null;
+  document.getElementById('chat').innerHTML = '';
+}
 async function vote(v) {
   await fetch('/vote', {method: 'POST',
     headers: {'Content-Type': 'application/json'},
@@ -94,30 +113,42 @@ class WebBackend:
                 args.model_path)
 
     def generate(self, data: dict):
-        prompt = data.get("prompt", "")
-        media_b64 = data.get("media_b64")
-        media_name = data.get("media_name", "")
         self._log("chat", data)
         if self.model is not None:
-            yield from self._generate_local(prompt, media_b64, media_name)
+            yield from self._generate_local(data)
         else:
             yield from self._proxy(data)
 
-    def _generate_local(self, prompt, media_b64, media_name):
+    @staticmethod
+    def _messages(data: dict):
+        """history [[user, assistant], ...] + prompt -> mm_infer message
+        list (multi-turn; gradio_web_server.py http_bot conversation-state
+        parity)."""
+        msgs = []
+        for user, assistant in data.get("history") or []:
+            msgs.append({"role": "user", "content": user})
+            msgs.append({"role": "assistant", "content": assistant})
+        msgs.append({"role": "user", "content": data.get("prompt", "")})
+        return msgs
+
+    IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".webp")
+
+    def _generate_local(self, data):
         from ..inference.api import mm_infer
+        media_b64 = data.get("media_b64")
+        media_name = data.get("media_name", "")
         tensor, modal = None, "text"
         if media_b64:
             raw = base64.b64decode(media_b64)
             tmp = os.path.join("/tmp", f"web_{time.time():.0f}_{media_name}")
             with open(tmp, "wb") as f:
                 f.write(raw)
-            if media_name.lower().endswith((".png", ".jpg", ".jpeg",
-                                            ".webp")):
+            if media_name.lower().endswith(self.IMAGE_EXTS):
                 tensor, modal = self.processor["image"](tmp), "image"
             else:
                 tensor, modal = self.processor["video"](tmp), "video"
-        out = mm_infer(tensor, prompt, self.model, self.tokenizer,
-                       modal=modal, max_new_tokens=512)
+        out = mm_infer(tensor, self._messages(data), self.model,
+                       self.tokenizer, modal=modal, max_new_tokens=512)
         yield json.dumps({"text": out, "error_code": 0}).encode() + b"\0"
 
     def _proxy(self, data):
@@ -131,10 +162,19 @@ class WebBackend:
             yield json.dumps({"text": "no workers available",
                               "error_code": 2}).encode() + b"\0"
             return
+        payload = {"prompt": self._messages(data),
+                   "model": self.args.model_name}
+        media_b64 = data.get("media_b64")
+        if media_b64:
+            name = data.get("media_name", "")
+            if name.lower().endswith(self.IMAGE_EXTS):
+                payload["images"] = [media_b64]
+            else:
+                payload["videos"] = [media_b64]
+                payload["video_name"] = name
         req = urllib.request.Request(
             addr + "/worker_generate_stream",
-            data=json.dumps({"prompt": data["prompt"],
-                             "model": self.args.model_name}).encode(),
+            data=json.dumps(payload).encode(),
             headers={"Content-Type": "application/json"}, method="POST")
         with urllib.request.urlopen(req, timeout=300) as r:
             while True:
