@@ -4,6 +4,11 @@ decode chunk. Identifies the wall-clock distribution behind bench.py.
 Sync methodology: on the axon remote tunnel `jax.block_until_ready` returns
 before execution finishes; only a device->host readback is a real sync, and
 per-dispatch overhead is ~2 ms (docs/DESIGN.md "Measurement methodology").
+
+Stage selection: STAGES=vit,conn,prefill,decode (default all, in order).
+Running `STAGES=decode` isolates decode from the preceding MXU-heavy burn —
+the two orderings have measured differently on this chip, so attribution
+needs both.
 """
 
 import os
@@ -30,29 +35,9 @@ def timeit(fn, *args, iters=3, warmup=1):
     return (time.time() - t0) / iters
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    from videollama2_tpu.core import config as cfglib
-    from videollama2_tpu.models import connector as conn_lib
-    from videollama2_tpu.models import llm as llm_lib
+def run_vit(jax, jnp, cfg, cpu, dev, rng, N_FRAMES):
     from videollama2_tpu.models import vit as vit_lib
 
-    cfg = cfglib.preset("videollama2_mistral").replace(num_frames=16)
-    B, T = 8, 16
-    N_FRAMES = B * T
-    rng = np.random.default_rng(0)
-
-    cpu = jax.devices("cpu")[0]
-    dev = jax.devices()[0]
-    print("device:", dev, file=sys.stderr)
-
-    # ---- ViT encode (frozen CLIP-L/336, 23 layers for select -2)
     with jax.default_device(cpu):
         vshape = jax.eval_shape(lambda: vit_lib.init_params(
             jax.random.PRNGKey(0), cfg.vision, jnp.bfloat16))
@@ -71,8 +56,13 @@ def main():
                                  + 2 * 577 * 1024 * 4096 * 2)
     print(f"ViT encode {N_FRAMES}f: {t_vit*1e3:.1f} ms "
           f"({flops_vit/t_vit/1e12:.1f} TF/s)", flush=True)
+    for t in jax.tree.leaves(vparams):
+        t.delete()
 
-    # ---- STC connector
+
+def run_conn(jax, jnp, cfg, cpu, dev, B, T):
+    from videollama2_tpu.models import connector as conn_lib
+
     with jax.default_device(cpu):
         cshape = jax.eval_shape(lambda: conn_lib.init_params(
             jax.random.PRNGKey(0), cfg.connector, jnp.bfloat16))
@@ -84,12 +74,13 @@ def main():
     conn_fn = jax.jit(lambda p, x: conn_lib.apply(p, cfg.connector, x))
     t_conn = timeit(conn_fn, cparams, feats)
     print(f"STC connector: {t_conn*1e3:.1f} ms", flush=True)
-    # free vision/connector state before loading the LLM
-    for t in jax.tree.leaves(vparams) + jax.tree.leaves(cparams) + [feats]:
+    for t in jax.tree.leaves(cparams) + [feats]:
         t.delete()
-    del vparams, cparams, feats
 
-    # ---- LLM prefill 2048 (int8 weights), Pallas flash attention
+
+def build_llm_params(jax, jnp, cfg, cpu, dev):
+    from videollama2_tpu.models import llm as llm_lib
+
     with jax.default_device(cpu):
         lshape = jax.eval_shape(lambda: llm_lib.init_params(
             jax.random.PRNGKey(0), cfg.llm, jnp.bfloat16))
@@ -105,7 +96,14 @@ def main():
                                                 1e-4, jnp.float32)}
             layers[name] = e
         lparams["layers"] = layers
-    lparams = jax.device_put(lparams, dev)
+        if os.environ.get("FUSEQKV", "1") == "1":
+            from videollama2_tpu.ops import quant as quant_lib
+            lparams = quant_lib.fuse_qkv(lparams)
+    return jax.device_put(lparams, dev)
+
+
+def run_prefill(jax, jnp, cfg, dev, lparams, B):
+    from videollama2_tpu.models import llm as llm_lib
 
     S = 2048
     embeds = jax.device_put(jnp.full((B, S, 4096), 0.1, jnp.bfloat16), dev)
@@ -121,7 +119,10 @@ def main():
               flush=True)
     del embeds
 
-    # ---- decode chunk of 32 (engine cache layout: bucket + step rows)
+
+def run_decode(jax, jnp, cfg, lparams, B):
+    from videollama2_tpu.models import llm as llm_lib
+
     M = 2048 + 32
     bucket = 2048
     cache = llm_lib.init_cache(cfg.llm, B, M, jnp.bfloat16)
@@ -155,6 +156,40 @@ def main():
     print(f"decode chunk 32 (B={B}): {t_dec*1e3:.1f} ms "
           f"({per_tok*1e3:.2f} ms/tok, weight-stream {bw/1e9:.0f} GB/s)",
           flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from videollama2_tpu.core import config as cfglib
+
+    cfg = cfglib.preset("videollama2_mistral").replace(num_frames=16)
+    B, T = 8, 16
+    N_FRAMES = B * T
+    rng = np.random.default_rng(0)
+
+    cpu = jax.devices("cpu")[0]
+    dev = jax.devices()[0]
+    print("device:", dev, file=sys.stderr)
+
+    stages = os.environ.get("STAGES", "vit,conn,prefill,decode").split(",")
+
+    if "vit" in stages:
+        run_vit(jax, jnp, cfg, cpu, dev, rng, N_FRAMES)
+    if "conn" in stages:
+        run_conn(jax, jnp, cfg, cpu, dev, B, T)
+    lparams = None
+    if "prefill" in stages or "decode" in stages:
+        lparams = build_llm_params(jax, jnp, cfg, cpu, dev)
+    if "prefill" in stages:
+        run_prefill(jax, jnp, cfg, dev, lparams, B)
+    if "decode" in stages:
+        run_decode(jax, jnp, cfg, lparams, B)
 
 
 if __name__ == "__main__":
