@@ -66,3 +66,31 @@ def test_flash_vjp_backward_runs():
     for a, b in zip(g, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("hp", [1, 2, 4])
+def test_encoder_attention_matches_xla(hp):
+    """encoder_attention (MXU-bias masking, multi-head cells) vs XLA."""
+    from videollama2_tpu.ops.encoder_attention import encoder_attention
+    rng = np.random.default_rng(3)
+    B, S, H, D = 2, 256, 4, 64
+    q, k, v = _rand_qkv(rng, B, S, H, H, D)
+    valid = jnp.array([S, S - 57])
+    ref = attend_xla(q, k, v, valid_len=valid, causal=False)
+    got = encoder_attention(q, k, v, valid_len=valid, heads_per_cell=hp,
+                            interpret=True)
+    for b, vl in enumerate([S, S - 57]):
+        np.testing.assert_allclose(np.asarray(got[b, :vl]),
+                                   np.asarray(ref[b, :vl]),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_encoder_attention_no_valid_len():
+    from videollama2_tpu.ops.encoder_attention import encoder_attention
+    rng = np.random.default_rng(4)
+    B, S, H, D = 1, 128, 8, 64  # hp > H exercises the hp-reduction loop
+    q, k, v = _rand_qkv(rng, B, S, H, H, D)
+    ref = attend_xla(q, k, v, causal=False)
+    got = encoder_attention(q, k, v, heads_per_cell=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

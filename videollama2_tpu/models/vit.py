@@ -135,15 +135,18 @@ def _encoder_layer(cfg: VisionConfig, x: jax.Array, lp: dict,
 
 
 def _pad_tokens(x: jax.Array, attn_impl: str):
-    """Zero-pad the token dim to a 128 multiple ONCE for the whole encoder
-    so every layer's attention can take the Pallas flash path (577/729
-    patch counts otherwise fail its S-divisibility gate and fall back to
-    XLA, whose materialized [S, S] probs cost ~5 ms/layer of HBM traffic
-    at 128 frames: 20.0 XLA vs 14.7 ms/layer flash). Padded keys are
-    masked via valid_len; padded query rows compute garbage and are
-    sliced off after the layer scan."""
+    """Zero-pad the token dim to a 16-sublane multiple ONCE for the whole
+    encoder so every layer's attention can take the Pallas kernel path
+    (577/729 patch counts otherwise fail its S-divisibility gate and fall
+    back to XLA, whose materialized [S, S] probs cost ~5 ms/layer of HBM
+    traffic at 128 frames). 16 (the bf16 sublane tile), not 128: attention
+    score tiles pad to 128 lanes internally either way, but every dense
+    GEMM and elementwise pass in the tower shrinks with S (577 -> 592
+    instead of 640 is ~7.5% of the tower's FLOPs). Padded keys are masked
+    via valid_len; padded query rows compute garbage and are sliced off
+    after the layer scan."""
     S = x.shape[1]
-    pad = (-S) % 128
+    pad = (-S) % 16
     if pad == 0 or attn_impl == "xla" or not attn_ops._on_tpu():
         return x, None, S
     x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))

@@ -93,22 +93,27 @@ def attend(q, k, v, valid_len=None, causal: bool = True,
     Sliding-window currently routes to XLA (Mistral v0.2+ disables SW).
     """
     if impl == "auto":
-        # Non-causal with S % 128 != 0 (577/729 patches) stays on XLA —
+        # Non-causal with unaligned S (577/729 patches) stays on XLA —
         # per-call pad/unpad x23 layers measured slower than XLA. The ViT
-        # instead pre-pads its token dim ONCE (models/vit._pad_tokens), so
-        # S % 128 == 0 holds here and the kernel path wins: flash with
-        # whole-sequence blocks (flash_attention small-non-causal branch)
-        # measured 14.7 vs 20.0 ms/layer for 128 CLIP-L frames — it skips
-        # XLA's materialized [S, S] fp32 probs.
+        # instead pre-pads its token dim ONCE (models/vit._pad_tokens) to a
+        # 16-sublane multiple, and the kernel path wins: whole-sequence
+        # blocks skip XLA's materialized [S, S] fp32 probs (9.5 vs 19
+        # ms/layer for 128 CLIP-L frames, scripts/profile_vit_attn.py).
         impl = "pallas" if (_on_tpu() and window is None
                             and q.shape[-1] % 64 == 0
                             and q.shape[1] >= 128
-                            and (causal or q.shape[1] % 128 == 0)) else "xla"
+                            and (causal or q.shape[1] % 16 == 0)) else "xla"
     if impl == "pallas":
         from .flash_attention import flash_attention_vjp
         if scale is None:
             scale = q.shape[-1] ** -0.5
         Sq, Sk = q.shape[1], k.shape[1]
+        if (not causal and Sq == Sk and Sq <= 1024 and Sq % 16 == 0
+                and q.shape[2] == k.shape[2]):
+            # encoder towers: whole-sequence cells, no online softmax,
+            # column mask computed once per cell (ops/encoder_attention)
+            from .encoder_attention import encoder_attention_vjp
+            return encoder_attention_vjp(q, k, v, valid_len, scale)
         pad_q = (-Sq) % 128
         pad_k = (-Sk) % 128
         if pad_q or pad_k:  # e.g. ViT's 577/729 patch tokens

@@ -1,0 +1,139 @@
+"""Pallas TPU attention specialized for encoder towers (non-causal).
+
+The ViT shapes (S=577/729 padded to 640/768, head_dim 64, 16 heads,
+batch*frames up to 128) make the generic flash kernel overhead-bound rather
+than MXU-bound: a (batch, head) grid is 2048 tiny cells, and per-cell
+dispatch plus per-cell masking of the [S, S] score matrix rivals the matmul
+time. This kernel amortizes both:
+
+  * **Multi-head cells**: each grid cell owns `heads_per_cell` heads of one
+    batch row and loops over them in-register (grid B x H/hp), cutting
+    per-cell overhead by hp.
+  * **Shared additive mask**: the pad mask depends only on the key column,
+    so it is materialized ONCE per cell as a [1, S] additive bias row and
+    fused into the score matrix with a single broadcast add — not
+    iota/compare/where per head.
+  * Whole-sequence blocks: S <= 1024 fits VMEM, so there is no online
+    softmax — one max/exp/sum per head, fp32 on the VPU, bf16 on the MXU.
+
+(A variant that folded the mask into the MXU contraction via an augmented
+bias column measured SLOWER — 13.0 vs 9.5 ms at CLIP-L/128f shapes — the
+65-wide contraction forces Mosaic relayouts that outweigh the saved VPU
+mask; scripts/profile_vit_attn.py. Kept 64-wide + in-kernel masking.)
+
+Used by the frozen CLIP/SigLIP towers (models/vit.py) via ops.attention's
+`attend(..., causal=False)` dispatch; parity vs the XLA path is pinned by
+tests/test_flash_attention.py. Reference parity target: flash-attn 2.5.8 as
+forced by videollama2/model/encoder.py:24,96.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+
+
+def _kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
+            heads_per_cell: int):
+    """q/k/v/o: [1, hp, S, D]; valid_ref: [B] in SMEM (scalar prefetch)."""
+    S = q_ref.shape[2]
+    valid = valid_ref[pl.program_id(0)]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    bias = jnp.where(col < valid, 0.0, NEG)              # [1, S] once/cell
+    for h in range(heads_per_cell):
+        # dot in the input dtype (bf16 -> native MXU rate; f32 operands
+        # would run the MXU at ~1/4 speed) with fp32 accumulation; scale
+        # applies to the fp32 scores and fuses with the bias add
+        s = jax.lax.dot_general(
+            q_ref[0, h], k_ref[0, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + bias   # [S, S]
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [S, D]
+        o_ref[0, h] = (o / l).astype(o_ref.dtype)
+
+
+def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                      valid_len: Optional[jax.Array] = None,
+                      scale: Optional[float] = None,
+                      heads_per_cell: int = 4,
+                      interpret: Optional[bool] = None) -> jax.Array:
+    """Non-causal attention, q/k/v: [B, S, H, D] with S % 128 == 0.
+
+    valid_len: [B] number of real (non-pad) keys per batch row, or None.
+    Returns [B, S, H, D]; rows past valid_len compute garbage (callers
+    slice them off, models/vit._pad_tokens).
+    """
+    B, S, H, D = q.shape
+    if scale is None:
+        scale = D ** -0.5
+    if interpret is None:  # CPU tests exercise the kernel via interpreter
+        interpret = jax.devices()[0].platform != "tpu"
+    hp = heads_per_cell
+    while H % hp:
+        hp //= 2
+    if valid_len is None:
+        valid_len = jnp.full((B,), S, jnp.int32)
+
+    qt = q.transpose(0, 2, 1, 3)                          # [B, H, S, D]
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # valid_len [B] lands in SMEM pre-kernel
+        grid=(B, H // hp),
+        in_specs=[
+            pl.BlockSpec((1, hp, S, D), lambda b, h, _: (b, h, 0, 0)),
+            pl.BlockSpec((1, hp, S, D), lambda b, h, _: (b, h, 0, 0)),
+            pl.BlockSpec((1, hp, S, D), lambda b, h, _: (b, h, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hp, S, D), lambda b, h, _: (b, h, 0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, heads_per_cell=hp),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * B * H * S * S * D),
+            bytes_accessed=(qt.size + kt.size + vt.size) * qt.dtype.itemsize,
+            transcendentals=B * H * S * S),
+        interpret=interpret,
+    )(valid_len.astype(jnp.int32), qt, kt, vt)
+    return out.transpose(0, 2, 1, 3)
+
+
+# Differentiable wrapper: forward = Pallas, backward = XLA reference (the
+# towers are frozen in every reference recipe, so the backward is cold).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def encoder_attention_vjp(q, k, v, valid_len, scale):
+    return encoder_attention(q, k, v, valid_len, scale)
+
+
+def _fwd(q, k, v, valid_len, scale):
+    return encoder_attention(q, k, v, valid_len, scale), (q, k, v, valid_len)
+
+
+def _bwd(scale, res, g):
+    from .attention import attend_xla
+    q, k, v, valid_len = res
+
+    def ref(q, k, v):
+        return attend_xla(q, k, v, valid_len=valid_len, causal=False,
+                          scale=scale)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+encoder_attention_vjp.defvjp(_fwd, _bwd)

@@ -37,7 +37,7 @@ def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
                   kv_repeat: int):
     del kv_repeat
     qi = pl.program_id(2)
-    q = q_ref[0, 0].astype(jnp.float32) * scale          # [BQ, D]
+    q = q_ref[0, 0]                                      # [BQ, D] bf16
     valid = valid_ref[pl.program_id(0)]  # scalar-prefetch: full [B] in SMEM
 
     nk = seq_k // block_k
@@ -50,11 +50,14 @@ def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
 
     def body(kb, carry):
         acc, m, l = carry
-        k_blk = k_ref[0, 0, pl.ds(kb * block_k, block_k)].astype(jnp.float32)
-        v_blk = v_ref[0, 0, pl.ds(kb * block_k, block_k)].astype(jnp.float32)
+        # matmuls run in the input dtype (bf16 -> native MXU rate; f32
+        # operands would run the MXU at ~1/4 speed) with fp32 accumulation;
+        # scale applies to the fp32 scores instead of to q
+        k_blk = k_ref[0, 0, pl.ds(kb * block_k, block_k)]
+        v_blk = v_ref[0, 0, pl.ds(kb * block_k, block_k)]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [BQ, BK]
+            preferred_element_type=jnp.float32) * scale  # [BQ, BK]
         col = kb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
         mask = col < valid
@@ -68,7 +71,7 @@ def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())),
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 
