@@ -66,6 +66,16 @@ def main():
             q, k, v, valid_len=vl, causal=False))
         report("flash whole-seq (b,h) cells", timeit(fl, q, k, v))
 
+        # stage-cost attribution: drop kernel stages one at a time
+        # (ABLATE=1; results are WRONG numerically, timing only)
+        if os.environ.get("ABLATE", "0") == "1":
+            for ab in ("mask", "mask,max", "mask,max,exp",
+                       "mask,max,exp,sum"):
+                enc = jax.jit(lambda q, k, v, ab=ab:
+                              enc_ops.encoder_attention(
+                                  q, k, v, valid_len=vl, ablate=ab))
+                report(f"encoder_attention -[{ab}]", timeit(enc, q, k, v))
+
         # hp=16 blows the 16 MB VMEM scoped limit at S=640 (blocks alone
         # are ~21 MB with double-buffering); 8 is the VMEM-feasible max
         for hp in (1, 2, 4, 8):

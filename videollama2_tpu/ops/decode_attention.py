@@ -114,7 +114,7 @@ def decode_attention_layered(q: jax.Array, k_new: jax.Array,
                              valid_len: jax.Array, write_pos: jax.Array,
                              prompt_len: int,
                              window: Optional[int] = None,
-                             block_m: int = 512,
+                             block_m: Optional[int] = None,
                              interpret: Optional[bool] = None) -> jax.Array:
     """Single-token GQA attention against layer `layer` of a stacked cache.
 
@@ -133,6 +133,9 @@ def decode_attention_layered(q: jax.Array, k_new: jax.Array,
     G = H // K
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
+    if block_m is None:
+        import os
+        block_m = int(os.environ.get("DECODE_ATTN_BM", "512"))
     # bm must divide M (partial tail blocks are avoided — interpret mode
     # pads them, compiled Mosaic clamps them, and both break the col-index
     # masking) and, as the sublane dim of the merged [bm, K*hd] cache

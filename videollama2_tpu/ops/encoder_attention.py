@@ -41,22 +41,39 @@ NEG = -1e30
 
 
 def _kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
-            heads_per_cell: int):
-    """q/k/v/o: [1, hp, S, D]; valid_ref: [B] in SMEM (scalar prefetch)."""
+            heads_per_cell: int, ablate: str = ""):
+    """q/k/v/o: [1, hp, S, D]; valid_ref: [B] in SMEM (scalar prefetch).
+
+    `ablate` drops numbered stages for perf attribution ONLY
+    (scripts/profile_vit_attn.py) — never set in production."""
     S = q_ref.shape[2]
     valid = valid_ref[pl.program_id(0)]
     col = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
     bias = jnp.where(col < valid, 0.0, NEG)              # [1, S] once/cell
     for h in range(heads_per_cell):
-        # dot in the input dtype (bf16 -> native MXU rate; f32 operands
-        # would run the MXU at ~1/4 speed) with fp32 accumulation; scale
-        # applies to the fp32 scores and fuses with the bias add
+        # dots in the input dtype (bf16 -> native MXU rate) with fp32
+        # accumulation; scale applies to the fp32 scores and fuses with
+        # the bias add. k arrives PRE-TRANSPOSED as [D, S] so both dots
+        # are the natural [M,K]x[K,N] form — contracting the lane dim of
+        # both operands instead makes Mosaic transpose k in VMEM per cell
+        # (measured ~3 us/cell, the bulk of the kernel's 4.3 us)
         s = jax.lax.dot_general(
-            q_ref[0, h], k_ref[0, h], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale + bias   # [S, S]
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
+            q_ref[0, h], k_ref[0, h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [S, S]
+        if "mask" not in ablate:
+            s = s * scale + bias
+        if "max" not in ablate:
+            m = jnp.max(s, axis=1, keepdims=True)
+        else:
+            m = jnp.zeros((S, 1), jnp.float32)
+        if "exp" not in ablate:
+            p = jnp.exp(s - m)
+        else:
+            p = s
+        if "sum" not in ablate:
+            l = jnp.sum(p, axis=1, keepdims=True)
+        else:
+            l = jnp.ones((S, 1), jnp.float32)
         o = jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[0, h], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # [S, D]
@@ -67,7 +84,8 @@ def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                       valid_len: Optional[jax.Array] = None,
                       scale: Optional[float] = None,
                       heads_per_cell: int = 4,
-                      interpret: Optional[bool] = None) -> jax.Array:
+                      interpret: Optional[bool] = None,
+                      ablate: str = "") -> jax.Array:
     """Non-causal attention, q/k/v: [B, S, H, D] with S % 128 == 0.
 
     valid_len: [B] number of real (non-pad) keys per batch row, or None.
@@ -86,7 +104,7 @@ def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         valid_len = jnp.full((B,), S, jnp.int32)
 
     qt = q.transpose(0, 2, 1, 3)                          # [B, H, S, D]
-    kt = k.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 3, 1)                          # [B, H, D, S]
     vt = v.transpose(0, 2, 1, 3)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -94,13 +112,14 @@ def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         grid=(B, H // hp),
         in_specs=[
             pl.BlockSpec((1, hp, S, D), lambda b, h, _: (b, h, 0, 0)),
-            pl.BlockSpec((1, hp, S, D), lambda b, h, _: (b, h, 0, 0)),
+            pl.BlockSpec((1, hp, D, S), lambda b, h, _: (b, h, 0, 0)),
             pl.BlockSpec((1, hp, S, D), lambda b, h, _: (b, h, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, hp, S, D), lambda b, h, _: (b, h, 0, 0)),
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, heads_per_cell=hp),
+        functools.partial(_kernel, scale=scale, heads_per_cell=hp,
+                          ablate=ablate),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
         cost_estimate=pl.CostEstimate(
