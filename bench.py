@@ -123,6 +123,17 @@ def _run(quantize_llm: bool):
                     "q": jnp.ones(ew.shape, jnp.int8),
                     "scale": jnp.full((ew.shape[0], 1), 1e-4,
                                       jnp.float32)}}
+            # the frozen tower's stacked linears go int8 too (bitsandbytes
+            # load_8bit wraps every nn.Linear incl. the vision tower,
+            # reference model/__init__.py:59-69); encode then runs W8A8
+            # MXU dots inside the prefill context
+            vlayers = dict(params["vision"]["layers"])
+            for name in ("q", "k", "v", "o", "fc1", "fc2"):
+                entry = dict(vlayers[name])
+                entry.update(q8_like(entry))
+                del entry["kernel"]
+                vlayers[name] = entry
+            params["vision"] = {**params["vision"], "layers": vlayers}
             wcfg = "int8-weights"
 
     H = cfg.vision.image_size

@@ -37,25 +37,35 @@ def timeit(fn, *args, iters=3, warmup=1):
 
 def run_vit(jax, jnp, cfg, cpu, dev, rng, N_FRAMES):
     from videollama2_tpu.models import vit as vit_lib
+    from videollama2_tpu.ops import layers as layers_ops
 
+    q8 = os.environ.get("VIT_Q8", "0") == "1"
     with jax.default_device(cpu):
         vshape = jax.eval_shape(lambda: vit_lib.init_params(
             jax.random.PRNGKey(0), cfg.vision, jnp.bfloat16))
         vparams = jax.tree.map(lambda a: jnp.full(a.shape, 0.01, a.dtype),
                                vshape)
+        if q8:  # VIT_Q8=1: int8 tower + W8A8 MXU dots (load_8bit parity)
+            from videollama2_tpu.ops import quant as quant_lib
+            vparams = quant_lib.quantize_vision_params(vparams)
     vparams = jax.device_put(vparams, dev)
     frames = jax.device_put(jnp.asarray(
         rng.integers(0, 255, (N_FRAMES, 336, 336, 3), dtype=np.uint8)
         .astype(np.float32) / 255.0, jnp.bfloat16), dev)
 
-    vit_fn = jax.jit(lambda p, x: vit_lib.features(p, cfg.vision, x))
+    def fwd(p, x):
+        with layers_ops.w8a8_prefill(q8):
+            return vit_lib.features(p, cfg.vision, x)
+
+    vit_fn = jax.jit(fwd)
     t_vit = timeit(vit_fn, vparams, frames)
     del frames
     flops_vit = N_FRAMES * 23 * (4 * 577 * 1024 * 1024 * 2
                                  + 2 * 577 * 577 * 1024 * 2
                                  + 2 * 577 * 1024 * 4096 * 2)
-    print(f"ViT encode {N_FRAMES}f: {t_vit*1e3:.1f} ms "
-          f"({flops_vit/t_vit/1e12:.1f} TF/s)", flush=True)
+    print(f"ViT encode {N_FRAMES}f{' int8' if q8 else ''}: "
+          f"{t_vit*1e3:.1f} ms ({flops_vit/t_vit/1e12:.1f} TF/s)",
+          flush=True)
     for t in jax.tree.leaves(vparams):
         t.delete()
 

@@ -237,3 +237,32 @@ def test_embed_and_lmhead_q8_paths():
     ref = np.asarray(lo_fp).ravel()
     got = np.asarray(lo_q8).ravel()
     assert np.corrcoef(ref, got)[0, 1] > 0.999
+
+
+def test_quantized_vision_tower_close():
+    """int8 tower (quantize_vision_params) ~ bf16 tower features; the
+    fused-qkv concat path must handle kernel_q8 packs (models/vit
+    _fuse_qkv_layers). Reference parity: bitsandbytes load_8bit wraps the
+    tower's linears too (model/__init__.py:59-69)."""
+    from videollama2_tpu.models import vit as jvit
+
+    cfg = cfglib.tiny_model().vision
+    rng = jax.random.PRNGKey(0)
+    params = jvit.init_params(rng, cfg, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (2, cfg.image_size, cfg.image_size, 3),
+                          jnp.float32)
+    ref = jvit.features(params, cfg, x)
+    qparams = quant.quantize_vision_params(params)
+    got = jvit.features(qparams, cfg, x)
+    assert got.shape == ref.shape
+    # int8 per-channel error compounds over layers; demand close-but-not-
+    # equal (catches wiring bugs, not quantization noise)
+    err = np.abs(np.asarray(got) - np.asarray(ref)).mean()
+    scale = np.abs(np.asarray(ref)).mean() + 1e-6
+    assert err / scale < 0.15, (err, scale)
+    # W8A8 context path traces and runs too
+    from videollama2_tpu.ops import layers as layers_ops
+    with layers_ops.w8a8_prefill(True):
+        got2 = jvit.features(qparams, cfg, x)
+    assert np.isfinite(np.asarray(got2)).all()

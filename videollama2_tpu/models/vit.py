@@ -101,11 +101,22 @@ def _fuse_qkv_layers(layers: dict) -> dict:
     """Concatenate the stacked q/k/v kernels+biases into one `qkv` entry
     (one [N*S, D] @ [D, 3D] GEMM per layer instead of three — fewer
     dispatches, deeper MXU occupancy; VERDICT r2 #5). Runs inside jit once
-    per encoder call; the tower is frozen so XLA hoists/CSEs the concat."""
-    qkv = {"kernel": jnp.concatenate(
-        [layers[n]["kernel"] for n in ("q", "k", "v")], axis=-1),
-        "bias": jnp.concatenate(
-        [layers[n]["bias"] for n in ("q", "k", "v")], axis=-1)}
+    per encoder call; the tower is frozen so XLA hoists/CSEs the concat.
+    int8 towers (ops/quant.quantize_vision_params) fuse their packs the
+    same way — concat is along the output axis, scales ride along."""
+    if "kernel" in layers["q"]:
+        qkv = {"kernel": jnp.concatenate(
+            [layers[n]["kernel"] for n in ("q", "k", "v")], axis=-1)}
+    else:
+        qkv = {"kernel_q8": {
+            "q": jnp.concatenate(
+                [layers[n]["kernel_q8"]["q"] for n in ("q", "k", "v")],
+                axis=-1),
+            "scale": jnp.concatenate(
+                [layers[n]["kernel_q8"]["scale"] for n in ("q", "k", "v")],
+                axis=-1)}}
+    qkv["bias"] = jnp.concatenate(
+        [layers[n]["bias"] for n in ("q", "k", "v")], axis=-1)
     out = {n: e for n, e in layers.items() if n not in ("q", "k", "v")}
     out["qkv"] = qkv
     return out

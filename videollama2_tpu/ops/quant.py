@@ -118,6 +118,28 @@ def quantize_llm_params(llm_params: Dict, bits: int = 8,
     return out
 
 
+def quantize_vision_params(vit_params: Dict) -> Dict:
+    """int8 weight-only for the FROZEN vision tower's stacked linears
+    (q/k/v/o/fc1/fc2; patch conv, norms and embeddings stay fp).
+
+    Parity note: the reference's load_8bit wraps the WHOLE model with
+    bitsandbytes — every nn.Linear in the CLIP/SigLIP tower included
+    (model/__init__.py:59-69) — so an int8 tower is the same serving
+    configuration, not an extra approximation. On v5e the W8A8 prefill
+    context then runs the tower's GEMMs on the s8xs8->s32 MXU path
+    (222 vs 158 TF/s measured at shape, ops/layers.dense_w8a8)."""
+    out = dict(vit_params)
+    layers = dict(vit_params["layers"])
+    for name in ("q", "k", "v", "o", "fc1", "fc2"):
+        if name not in layers or "kernel" not in layers[name]:
+            continue
+        entry = dict(layers[name])
+        entry["kernel_q8"] = quantize_int8(entry.pop("kernel"), axis=-2)
+        layers[name] = entry
+    out["layers"] = layers
+    return out
+
+
 def fuse_qkv(llm_params: Dict) -> Dict:
     """Fuse the quantized q/k/v projection packs into one `qkv` entry.
 
