@@ -58,6 +58,12 @@ def _run(quantize_llm: bool):
         jax.config.update("jax_explain_cache_misses", True)
     except Exception:
         pass
+    try:
+        n_cached = len(os.listdir("/root/repo/.jax_cache"))
+    except OSError:
+        n_cached = 0
+    print(f"[bench] persistent cache entries at start: {n_cached}",
+          file=sys.stderr, flush=True)
 
     from videollama2_tpu.core import config as cfglib
     from videollama2_tpu.inference.engine import Engine, GenerationConfig

@@ -52,6 +52,7 @@ def serve_stack(tmp_path_factory):
         attn_impl="xla")
     worker.semaphore = threading.Semaphore(2)
     worker.limit_concurrency = 2
+    worker.batcher = None
     worker._queue = 0
     worker._qlock = threading.Lock()
 

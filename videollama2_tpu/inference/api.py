@@ -98,12 +98,12 @@ def model_init(model_path: Optional[str] = None, dtype=None,
     return model, processor, tokenizer
 
 
-def mm_infer(image_or_video, instruct, model: VideoLLaMA2, tokenizer,
-             modal: str = "video", **kwargs) -> str:
-    """Single-sample multimodal inference; parity videollama2/__init__.py:32-114.
+def build_prompt_ids(instruct, cfg, tokenizer, modal: str = "video"):
+    """Chat-template + multimodal-tokenize one request -> input id list.
 
-    image_or_video: [T, H, W, 3] float32 numpy (channels-last; the TPU-native
-    layout produced by this package's processors).
+    Shared by mm_infer and the serving batcher (serve/batching.py); parity
+    with videollama2/__init__.py:72-98 (modal tag prepend, Llama2-style
+    <<SYS>> system prompt for the mistral/mixtral families).
     """
     from ..constants import DEFAULT_AUDIO_TOKEN
     if modal == "image":
@@ -116,22 +116,6 @@ def mm_infer(image_or_video, instruct, model: VideoLLaMA2, tokenizer,
         modal_token = ""
     else:
         raise ValueError(f"Unsupported modal: {modal}")
-
-    cfg = model.config
-    frames = None
-    audio = None
-    if modal == "audio":
-        audio = _prep_audio(image_or_video, cfg)
-    elif modal != "text":
-        arr = np.asarray(image_or_video)
-        if arr.dtype != np.uint8:  # uint8 rides through; normalize on device
-            arr = arr.astype(np.float32)
-        T = cfg.num_frames
-        if modal == "image":
-            # expand image to num_frames identical frames
-            # (videollama2_arch.py:119-120)
-            arr = np.broadcast_to(arr[:1], (T,) + arr.shape[1:])
-        frames = arr[None]  # [1, T, H, W, 3]
 
     if isinstance(instruct, str):
         message = [{"role": "user", "content": modal_token + "\n" + instruct}]
@@ -147,7 +131,33 @@ def mm_infer(image_or_video, instruct, model: VideoLLaMA2, tokenizer,
 
     prompt = tokenizer.apply_chat_template(message, tokenize=False,
                                            add_generation_prompt=True)
-    input_ids = tokenizer_multimodal_token(prompt, tokenizer, modal_token)
+    return tokenizer_multimodal_token(prompt, tokenizer, modal_token)
+
+
+def mm_infer(image_or_video, instruct, model: VideoLLaMA2, tokenizer,
+             modal: str = "video", **kwargs) -> str:
+    """Single-sample multimodal inference; parity videollama2/__init__.py:32-114.
+
+    image_or_video: [T, H, W, 3] float32 numpy (channels-last; the TPU-native
+    layout produced by this package's processors).
+    """
+    cfg = model.config
+    frames = None
+    audio = None
+    if modal == "audio":
+        audio = _prep_audio(image_or_video, cfg)
+    elif modal not in ("text",):
+        arr = np.asarray(image_or_video)
+        if arr.dtype != np.uint8:  # uint8 rides through; normalize on device
+            arr = arr.astype(np.float32)
+        T = cfg.num_frames
+        if modal == "image":
+            # expand image to num_frames identical frames
+            # (videollama2_arch.py:119-120)
+            arr = np.broadcast_to(arr[:1], (T,) + arr.shape[1:])
+        frames = arr[None]  # [1, T, H, W, 3]
+
+    input_ids = build_prompt_ids(instruct, cfg, tokenizer, modal)
 
     gen = GenerationConfig(
         do_sample=kwargs.get("do_sample", False),

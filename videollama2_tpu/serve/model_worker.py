@@ -45,7 +45,8 @@ class ModelWorker:
     def __init__(self, controller_addr: str, worker_addr: str,
                  model_path: str, model_name: Optional[str] = None,
                  limit_concurrency: int = 5, register: bool = True,
-                 num_frames: Optional[int] = None):
+                 num_frames: Optional[int] = None,
+                 dynamic_batch: bool = False):
         from ..inference import api as api_lib
         from ..multimodal.tokenizer import get_model_name_from_path
 
@@ -56,6 +57,11 @@ class ModelWorker:
                     f"{worker_id} ...")
         self.model, self.processor, self.tokenizer = api_lib.model_init(
             model_path)
+        self.batcher = None
+        if dynamic_batch:
+            from .batching import DynamicBatcher
+            self.batcher = DynamicBatcher(self.model, self.tokenizer,
+                                          max_batch=8)
         if num_frames:
             self.model.config = self.model.config.replace(
                 num_frames=num_frames)
@@ -169,6 +175,10 @@ class ModelWorker:
             max_new_tokens=min(int(params.get("max_new_tokens", 256)), 1024),
         )
 
+        if self.batcher is not None:
+            yield from self._generate_batched(prompt, modal, tensor, kwargs)
+            return
+
         # stream by chunk: run the engine with a callback
         emitted = {"text": ""}
         stream_q: list = []
@@ -218,6 +228,35 @@ class ModelWorker:
         else:
             yield json.dumps({"text": emitted["text"],
                               "error_code": 0}).encode() + b"\0"
+
+    def _generate_batched(self, prompt, modal, tensor, kwargs
+                          ) -> Iterator[bytes]:
+        """Continuous-batching path (serve/batching.DynamicBatcher):
+        concurrent requests share one engine call; tokens stream back
+        per-request."""
+        with self._qlock:
+            self._queue += 1
+        try:
+            out_q = self.batcher.submit(prompt, modal, tensor, **kwargs)
+            while True:
+                kind, text = out_q.get()
+                if kind == "error":
+                    logger.error(f"batched generation failed: {text}")
+                    yield json.dumps({"text": "internal error",
+                                      "error_code": 1}).encode() + b"\0"
+                    return
+                if not _check_safety(text):
+                    yield json.dumps(
+                        {"text": "output violates safety policy.",
+                         "error_code": 1}).encode() + b"\0"
+                    return
+                yield json.dumps({"text": text,
+                                  "error_code": 0}).encode() + b"\0"
+                if kind == "done":
+                    return
+        finally:
+            with self._qlock:
+                self._queue -= 1
 
 
 def make_handler(worker: ModelWorker):
@@ -276,6 +315,9 @@ def main():
     ap.add_argument("--no-register", action="store_true")
     ap.add_argument("--num-frames", type=int, default=None)
     ap.add_argument("--banned-words-file", default=None)
+    ap.add_argument("--dynamic-batch", action="store_true",
+                    help="continuous batching: group concurrent requests "
+                         "into one engine call (serve/batching.py)")
     args = ap.parse_args()
 
     if args.banned_words_file:
@@ -287,7 +329,8 @@ def main():
                          args.model_path, args.model_name,
                          args.limit_model_concurrency,
                          register=not args.no_register,
-                         num_frames=args.num_frames)
+                         num_frames=args.num_frames,
+                         dynamic_batch=args.dynamic_batch)
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(worker))
     logger.info(f"worker listening on {args.host}:{args.port}")
