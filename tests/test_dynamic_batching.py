@@ -97,3 +97,46 @@ def test_per_request_max_new_tokens_cap(batch_stack):
     assert ra[-1][0] == "done" and rb[-1][0] == "done"
     # request a's text reflects at most its own cap (2 tokens + specials)
     assert na <= 4
+
+
+def test_openai_server_dynamic_batch(batch_stack, tmp_path):
+    """OpenAI-compatible server routes completions through the batcher:
+    two concurrent chat completions share one engine call."""
+    import json
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+    from videollama2_tpu.serve import openai_api as oai
+
+    model, tokenizer, batcher = batch_stack
+    backend = oai.OpenAIBackend.__new__(oai.OpenAIBackend)
+    backend.model_name = "tiny"
+    backend.model, backend.tokenizer = model, tokenizer
+    backend.processor = None  # text-only requests in this test
+    backend.batcher = batcher
+
+    srv = ThreadingHTTPServer(("localhost", 0), oai.make_handler(backend))
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    b0 = batcher.stats["batches"]
+    out = {}
+
+    def ask(tag):
+        req = urllib.request.Request(
+            f"http://localhost:{port}/v1/chat/completions",
+            data=json.dumps({"messages": [
+                {"role": "user", "content": f"say {tag} ?"}],
+                "max_tokens": 4}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            out[tag] = json.loads(r.read())
+
+    ts = [threading.Thread(target=ask, args=(t,)) for t in ("a", "b")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    srv.shutdown()
+    for tag in ("a", "b"):
+        msg = out[tag]["choices"][0]["message"]
+        assert msg["role"] == "assistant" and isinstance(msg["content"], str)
+    assert batcher.stats["batches"] == b0 + 1  # shared one engine call

@@ -24,12 +24,18 @@ logger = build_logger("openai_api", "openai_api.log")
 
 
 class OpenAIBackend:
-    def __init__(self, model_path: str, model_name: str = None):
+    def __init__(self, model_path: str, model_name: str = None,
+                 dynamic_batch: bool = False):
         from ..inference import api as api_lib
         from ..multimodal.tokenizer import get_model_name_from_path
         self.model_name = model_name or get_model_name_from_path(model_path)
         self.model, self.processor, self.tokenizer = api_lib.model_init(
             model_path)
+        self.batcher = None
+        if dynamic_batch:
+            from .batching import DynamicBatcher
+            self.batcher = DynamicBatcher(self.model, self.tokenizer,
+                                          max_batch=8)
 
     def _extract_media(self, messages):
         """Pull the first media part out of the message list; returns
@@ -79,12 +85,24 @@ class OpenAIBackend:
         user_turns = [m for m in cleaned if m["role"] != "system"]
         instruct = (user_turns if len(user_turns) > 1
                     else user_turns[0]["content"] if user_turns else "")
-        out = mm_infer(
-            tensor, instruct, self.model, self.tokenizer, modal=modal,
+        kwargs = dict(
             do_sample=body.get("temperature", 0) not in (0, None),
             temperature=body.get("temperature") or 0.2,
             top_p=body.get("top_p", 0.9),
             max_new_tokens=body.get("max_tokens", 512))
+        if self.batcher is not None:
+            # continuous batching: concurrent chat completions share one
+            # engine call (serve/batching.py)
+            q = self.batcher.submit(instruct, modal, tensor, **kwargs)
+            while True:
+                kind, text = q.get()
+                if kind == "error":
+                    raise RuntimeError(text)
+                if kind == "done":
+                    return text
+        out = mm_infer(
+            tensor, instruct, self.model, self.tokenizer, modal=modal,
+            **kwargs)
         return out
 
 
@@ -160,8 +178,11 @@ def main():
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--model-path", required=True)
     ap.add_argument("--model-name", default=None)
+    ap.add_argument("--dynamic-batch", action="store_true",
+                    help="continuous batching across concurrent requests")
     args = ap.parse_args()
-    backend = OpenAIBackend(args.model_path, args.model_name)
+    backend = OpenAIBackend(args.model_path, args.model_name,
+                            dynamic_batch=args.dynamic_batch)
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(backend))
     logger.info(f"openai api on http://{args.host}:{args.port}/v1")
