@@ -47,6 +47,10 @@ def _analytic_a100_videos_per_sec() -> float:
 
 def _run(quantize_llm: bool):
     import jax
+    if os.environ.get("PLATFORM") == "cpu":
+        # CPU smoke / tunnel-down escape hatch (the preloaded axon platform
+        # hangs indefinitely when the TPU tunnel is unreachable)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     # persistent compile cache: first run on this host pays the (very slow,
@@ -58,6 +62,30 @@ def _run(quantize_llm: bool):
         jax.config.update("jax_explain_cache_misses", True)
     except Exception:
         pass
+    # capture miss lines (jax._src.compiler logs them at WARNING under the
+    # flag above; hits only log at DEBUG and stay invisible) into a
+    # committed-able artifact + a counter: BENCH_rN only keeps the output
+    # tail, so warmup diagnosis must survive on disk.
+    import logging as _logging
+    cache_log = {"hit": 0, "miss": 0}
+
+    class _CacheLogHandler(_logging.Handler):
+        def emit(self, record):
+            msg = record.getMessage()
+            kind = ("miss" if "CACHE MISS" in msg
+                    else "hit" if "cache hit" in msg else None)
+            if kind is None:
+                return
+            cache_log[kind] += 1
+            try:
+                # .txt at repo root (NOT under gitignored .jax_cache/): the
+                # driver commits stray worktree files at round end, so the
+                # miss log survives for next-round diagnosis
+                with open("/root/repo/bench_cache_misses.txt", "a") as f:
+                    f.write(msg[:300] + "\n")
+            except OSError:
+                pass
+    _logging.getLogger("jax._src.compiler").addHandler(_CacheLogHandler())
     try:
         n_cached = len(os.listdir("/root/repo/.jax_cache"))
     except OSError:
@@ -250,6 +278,7 @@ def _run(quantize_llm: bool):
             "weights": wcfg, "model": model, "batch": BATCH, "frames": T,
             "params_to_device_s": round(t_params, 3),
             "warmup_compile_s": round(t_warmup, 3),
+            "persistent_cache": dict(cache_log),
             "transfer_s": round(t_transfer, 3),
             "transfer_mb": round(fr.nbytes / 1e6, 1),
             "encode_prefill_first_token_s": round(t_prefill, 3),

@@ -166,6 +166,7 @@ def mm_infer(image_or_video, instruct, model: VideoLLaMA2, tokenizer,
         top_p=kwargs.get("top_p", 0.9),
         max_new_tokens=kwargs.get("max_new_tokens", 2048),
         seed=kwargs.get("seed", 0),
+        speculative_k=kwargs.get("speculative_k", 0),
     )
     eos = tokenizer.eos_token_id
     outs = model.engine.generate([input_ids], frames=frames, audio=audio,

@@ -39,12 +39,19 @@ DECODE_CHUNK = 32
 
 @dataclass
 class GenerationConfig:
-    """Defaults parity: videollama2/__init__.py:93-96."""
+    """Defaults parity: videollama2/__init__.py:93-96.
+
+    speculative_k >= 2 enables self-speculative decoding (prompt-lookup
+    drafts verified K tokens per device pass — inference/speculative.py)
+    for greedy batch-1 requests; other requests ignore it. Output tokens
+    are identical to plain greedy decoding.
+    """
     do_sample: bool = False
     temperature: float = 0.2
     top_p: float = 0.9
     max_new_tokens: int = 2048
     seed: int = 0
+    speculative_k: int = 0
 
 
 class Engine:
@@ -99,6 +106,7 @@ class Engine:
             self.params = dict(self.params,
                                llm=quant_lib.fuse_qkv(self.params["llm"]))
         self._prefill_cache = {}
+        self._verify_cache = {}
         self._decode_fn = None
         self._encode_fn = None
 
@@ -255,6 +263,59 @@ class Engine:
 
         return decode_chunk_fn
 
+    def _get_verify(self, bucket: int, k: int):
+        """Jitted K-slot speculative verify (greedy ids only cross the
+        wire, not [K, V] logits)."""
+        key = (bucket, k)
+        if key not in self._verify_cache:
+            cfg = self.cfg
+
+            @functools.partial(jax.jit, donate_argnums=(2,))
+            def verify_fn(params, tokens, cache, valid_len, step0):
+                te = llm_lib.embed_tokens(params["llm"], tokens,
+                                          dtype=self.dtype)
+                logits, cache = llm_lib.decode_verify(
+                    params["llm"], cfg.llm, te, cache, valid_len, bucket,
+                    step0)
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+            self._verify_cache[key] = verify_fn
+        return self._verify_cache[key]
+
+    def _decode_speculative(self, outs, done_np, cache, valid_arr,
+                            bucket, eos, gen, stop_fn, stream_cb, context):
+        """Greedy batch-1 speculative decode loop (see
+        inference/speculative.py). Returns (outs, cache, steps_done,
+        done_np); the caller's plain chunked loop finishes any cache-budget
+        tail, so output parity with plain greedy holds for every budget."""
+        from . import speculative as spec
+        k = gen.speculative_k
+        verify = self._get_verify(bucket, k)
+        budget = self.max_len - bucket
+        step0 = 0
+        while (not done_np[0] and len(outs[0]) < gen.max_new_tokens
+               and step0 + k <= budget):
+            last = outs[0][-1]
+            drafts = spec.ngram_propose(context + outs[0], k - 1)
+            drafts += [last] * (k - 1 - len(drafts))  # pad: rejected free
+            tokens = jnp.asarray([[last] + drafts], jnp.int32)
+            greedy, cache = verify(self.params, tokens, cache, valid_arr,
+                                   jnp.int32(step0))
+            emitted, accepted = spec.accept_drafts(
+                drafts, [int(t) for t in np.asarray(greedy)[0]])
+            # budget caps: never emit past max_new_tokens
+            room = gen.max_new_tokens - len(outs[0])
+            emitted = emitted[:room]
+            for t in emitted:
+                outs[0].append(t)
+                if t == eos or (stop_fn is not None and stop_fn(outs[0])):
+                    done_np[0] = True
+                    break
+            if stream_cb is not None:
+                stream_cb(0, outs[0])
+            step0 += accepted + 1
+        return outs, cache, step0, done_np
+
     def _frames_to_device(self, frames) -> jax.Array:
         """Frames to device: uint8 stays uint8 (normalized on device by
         encode_frames), floats cast to the engine dtype. jax.Arrays pass
@@ -379,11 +440,21 @@ class Engine:
 
         tokens = first
         valid_arr = jnp.asarray(plan.valid_len)
+        steps_done = 0
+        if gen.speculative_k >= 2 and B == 1 and not gen.do_sample:
+            # prompt-lookup speculative decode (greedy batch-1 only; output
+            # tokens identical to the plain loop below). Any cache-budget
+            # tail (< k rows left) falls through to the plain loop.
+            context = [t for t in batch_input_ids[0] if t >= 0]
+            outs, cache, steps_done, done_np = self._decode_speculative(
+                outs, done_np, cache, valid_arr, bucket, eos, gen,
+                stop_fn, stream_cb, context)
+            tokens = jnp.asarray([outs[0][-1]], jnp.int32)
         done = jnp.asarray(done_np)
         # generated tokens occupy cache rows [bucket, max_len)
         budget = self.max_len - bucket
-        remaining = min(gen.max_new_tokens - 1, budget)
-        steps_done = 0
+        remaining = min(gen.max_new_tokens - len(outs[0]),
+                        budget - steps_done)
         while remaining > 0 and not done_np.all():
             steps = min(self.decode_chunk, remaining)
             emitted, tokens, cache, done, rng = decode(

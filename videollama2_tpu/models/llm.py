@@ -417,6 +417,87 @@ def decode_step(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
     return logits, KVCache(new_k, new_v)
 
 
+def decode_verify(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
+                  cache: KVCache, valid_len: jax.Array, prompt_len: int,
+                  step0: jax.Array) -> Tuple[jax.Array, KVCache]:
+    """K-token speculative verify step (beyond-reference capability).
+
+    Runs K candidate tokens (the last accepted token + K-1 drafted
+    continuations) through the decoder in ONE pass: every weight matrix is
+    read from HBM once for all K tokens, so accepted drafts cut the
+    bandwidth floor of bandwidth-bound decode by up to K. Slot i occupies
+    cache row prompt_len+step0+i with logical RoPE position
+    valid_len+step0+i and attends the prompt rows [0, valid_len) plus
+    generated rows [prompt_len, prompt_len+step0+i] — slot-causal over the
+    draft block, so logits[:, i] equal a sequential decode_step's logits
+    given the same prefix (tests/test_speculative.py pins this).
+
+    Rows written for later-rejected slots are overwritten by the next
+    call's K-row write before any attention reads them (the write covers
+    [step0', step0'+K) ⊇ the stale tail, and masks never reach past the
+    accepted frontier).
+
+    token_embeds: [B, K, D]. Returns (logits [B, K, V] fp32, cache).
+    """
+    B, K, _ = token_embeds.shape
+    M = cache.max_len
+    offs = jnp.arange(K)
+    positions = valid_len[:, None] + step0 + offs[None, :]      # [B, K]
+    cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
+    write_pos = prompt_len + step0                              # first row
+
+    ki = jnp.arange(M)[None, None, :]                           # [1, 1, M]
+    frontier = (write_pos + offs)[None, :, None]                # [1, K, 1]
+    mask = (ki < valid_len[:, None, None]) | \
+           ((ki >= prompt_len) & (ki <= frontier))              # [B, K, M]
+    if cfg.sliding_window is not None:
+        logical_k = jnp.where(ki < prompt_len, ki,
+                              valid_len[:, None, None] + (ki - prompt_len))
+        mask = mask & (positions[:, :, None] - logical_k
+                       < cfg.sliding_window)
+    mask = mask[:, None]                                        # [B,1,K,M]
+
+    H, Kh, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    def body(x, scan_in):
+        lp, ck, cv = scan_in
+        h = rms_norm(x, lp["attn_norm"]["scale"], cfg.rms_norm_eps)
+        M_ = ck.shape[1]
+        if "qkv" in lp:
+            qkv = dense(h, lp["qkv"])
+            q, k, v = (qkv[..., :H * hd], qkv[..., H * hd:(H + Kh) * hd],
+                       qkv[..., (H + Kh) * hd:])
+        else:
+            q, k, v = dense(h, lp["q"]), dense(h, lp["k"]), dense(h, lp["v"])
+        q = q.reshape(B, K, H, hd)
+        k = k.reshape(B, K, Kh, hd)
+        v = v.reshape(B, K, Kh, hd)
+        q, k = apply_rope(q, k, cos, sin)
+        ck = jax.lax.dynamic_update_slice(
+            ck, k.reshape(B, K, Kh * hd).astype(ck.dtype), (0, write_pos, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cv, v.reshape(B, K, Kh * hd).astype(cv.dtype), (0, write_pos, 0))
+        out = attn_ops.mha_xla(q, ck.reshape(B, M_, Kh, hd).astype(q.dtype),
+                               cv.reshape(B, M_, Kh, hd).astype(q.dtype),
+                               mask=mask)
+        out = dense(out.reshape(B, K, H * hd), lp["o"])
+        x = x + out
+        h = rms_norm(x, lp["mlp_norm"]["scale"], cfg.rms_norm_eps)
+        if cfg.is_moe:
+            ffn_out = _ffn_moe(h, lp, cfg)
+        else:
+            g = jax.nn.silu(dense(h, lp["gate"]))
+            u = dense(h, lp["up"])
+            ffn_out = dense(g * u, lp["down"])
+        return x + ffn_out, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, token_embeds, (params["layers"], cache.k, cache.v))
+    x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
+    logits = lm_logits(params, cfg, x)
+    return logits, KVCache(new_k, new_v)
+
+
 def _decode_step_q8(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
                     cache: KVCache, mask: jax.Array, cos: jax.Array,
                     sin: jax.Array, write_pos: jax.Array,

@@ -17,6 +17,9 @@ def main():
     ap.add_argument("--temperature", type=float, default=0.2)
     ap.add_argument("--do-sample", action="store_true")
     ap.add_argument("--max-new-tokens", type=int, default=512)
+    ap.add_argument("--speculative", type=int, default=0, metavar="K",
+                    help="prompt-lookup speculative decoding for greedy "
+                         "turns (inference/speculative.py)")
     args = ap.parse_args()
 
     from .. import mm_infer, model_init
@@ -43,7 +46,8 @@ def main():
                          model, tokenizer, modal=modal,
                          do_sample=args.do_sample,
                          temperature=args.temperature,
-                         max_new_tokens=args.max_new_tokens)
+                         max_new_tokens=args.max_new_tokens,
+                         speculative_k=args.speculative)
         history.append({"role": "assistant", "content": reply})
         print(f"ASSISTANT: {reply}")
 

@@ -42,11 +42,16 @@ def _check_safety(text: str) -> bool:
 
 
 class ModelWorker:
+    # class-level default: tests (and any embedder) may build the worker
+    # via __new__ + attribute assembly without running __init__
+    speculative_k = 0
+
     def __init__(self, controller_addr: str, worker_addr: str,
                  model_path: str, model_name: Optional[str] = None,
                  limit_concurrency: int = 5, register: bool = True,
                  num_frames: Optional[int] = None,
-                 dynamic_batch: bool = False):
+                 dynamic_batch: bool = False,
+                 speculative_k: int = 0):
         from ..inference import api as api_lib
         from ..multimodal.tokenizer import get_model_name_from_path
 
@@ -65,6 +70,7 @@ class ModelWorker:
         if num_frames:
             self.model.config = self.model.config.replace(
                 num_frames=num_frames)
+        self.speculative_k = speculative_k
         self.semaphore = threading.Semaphore(limit_concurrency)
         self.limit_concurrency = limit_concurrency
         self._queue = 0
@@ -173,6 +179,9 @@ class ModelWorker:
             temperature=float(params.get("temperature", 0.2)),
             top_p=float(params.get("top_p", 0.9)),
             max_new_tokens=min(int(params.get("max_new_tokens", 256)), 1024),
+            # latency lever for single-stream greedy requests; the engine
+            # no-ops it for sampled or batched generations
+            speculative_k=self.speculative_k,
         )
 
         if self.batcher is not None:
@@ -318,6 +327,10 @@ def main():
     ap.add_argument("--dynamic-batch", action="store_true",
                     help="continuous batching: group concurrent requests "
                          "into one engine call (serve/batching.py)")
+    ap.add_argument("--speculative", type=int, default=0, metavar="K",
+                    help="prompt-lookup speculative decoding: verify K "
+                         "tokens per decode pass on greedy single-stream "
+                         "requests (inference/speculative.py)")
     args = ap.parse_args()
 
     if args.banned_words_file:
@@ -330,7 +343,8 @@ def main():
                          args.limit_model_concurrency,
                          register=not args.no_register,
                          num_frames=args.num_frames,
-                         dynamic_batch=args.dynamic_batch)
+                         dynamic_batch=args.dynamic_batch,
+                         speculative_k=args.speculative)
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(worker))
     logger.info(f"worker listening on {args.host}:{args.port}")
