@@ -1,0 +1,45 @@
+#!/bin/bash
+# TPU measurement queue: waits for the axon tunnel to come back, then runs
+# the round-3 profiling set serially, logging to /tmp/tpu_queue/.
+# Each step is timeout-guarded; the probe itself is cheap and re-tried.
+set -u
+mkdir -p /tmp/tpu_queue
+cd /root/repo
+
+probe() {
+  timeout 75 python -c "
+import jax
+d = jax.devices()[0]
+assert d.platform == 'tpu', d.platform
+import jax.numpy as jnp
+x = jnp.ones((128, 128))
+(x @ x).block_until_ready()
+print('TPU OK')
+" 2>/dev/null | grep -q "TPU OK"
+}
+
+echo "$(date +%T) waiting for TPU..." >> /tmp/tpu_queue/status.log
+until probe; do
+  sleep 180
+done
+echo "$(date +%T) TPU up — running queue" >> /tmp/tpu_queue/status.log
+
+run() {
+  local name=$1; shift
+  echo "$(date +%T) START $name" >> /tmp/tpu_queue/status.log
+  timeout "$@" > "/tmp/tpu_queue/$name.out" 2> "/tmp/tpu_queue/$name.err"
+  echo "$(date +%T) DONE $name rc=$?" >> /tmp/tpu_queue/status.log
+}
+
+# decode floor first (shortest, most load-sensitive)
+run profile_decode 1200 python scripts/profile_decode.py
+# spec-decode ceiling at 7B int8
+run bench_speculative 2400 python scripts/bench_speculative.py
+# component stages (encode/prefill/decode attribution)
+run profile_components 2400 python scripts/profile_components.py
+# training step throughput
+run profile_train 2400 python scripts/profile_train.py
+# the headline bench (warmup diagnosis now logged to bench_cache_misses.txt)
+run bench 3600 python bench.py
+
+echo "$(date +%T) queue complete" >> /tmp/tpu_queue/status.log

@@ -129,6 +129,18 @@ def test_inference_sharded_matches_single(tiny_setup):
                              eos_token_id=-1)[0]
     assert out1 == out8
 
+    # speculative decoding on the sharded engine: GSPMD shards the verify
+    # pass like any other jitted fn; output must stay token-identical
+    with mesh:
+        eng_s = Engine(cfg, params, dtype=jnp.float32, max_len=64,
+                       buckets=(32,), attn_impl="xla", decode_chunk=4,
+                       shard_fn=lambda p: sh.shard_params(mesh, p))
+        out_s = eng_s.generate(
+            [[3, 4, 5]],
+            gen=GenerationConfig(max_new_tokens=6, speculative_k=3),
+            eos_token_id=-1)[0]
+    assert out_s == out1
+
 
 def test_sequence_parallel_step_matches_unsharded(tiny_setup):
     """Ulysses SP (tokens sharded over `seq`, heads for attention): the
