@@ -220,3 +220,29 @@ def test_engine_speculative_ignored_for_batch_or_sampling(tiny):
                              do_sample=True, temperature=1.0, seed=1),
         eos_token_id=-1)
     assert len(out[0]) == 4
+
+
+def test_engine_speculative_int8_fused_qkv(tiny):
+    """The single-chip serving config: int8 packs + fused q/k/v (Engine
+    fuse_qkv default) + speculation. decode_verify must read the fused
+    'qkv' q8 pack and stay token-identical to the plain q8 decode loop
+    (which runs the layer-indexed Pallas kernels, interpret mode on CPU)."""
+    from videollama2_tpu.ops import quant
+    cfg, params = tiny
+    qparams = dict(params)
+    qparams["llm"] = quant.quantize_llm_params(params["llm"], bits=8)
+    prompt = [3, 4, 5, 6, 3, 4, 5]
+
+    plain = Engine(cfg, qparams, dtype=jnp.float32, max_len=64,
+                   buckets=(32,), attn_impl="xla", decode_chunk=4)
+    assert "qkv" in plain.params["llm"]["layers"]
+    ref = plain.generate([prompt], gen=GenerationConfig(max_new_tokens=10),
+                         eos_token_id=-1)[0]
+
+    eng = Engine(cfg, qparams, dtype=jnp.float32, max_len=64,
+                 buckets=(32,), attn_impl="xla", decode_chunk=4)
+    got = eng.generate(
+        [prompt],
+        gen=GenerationConfig(max_new_tokens=10, speculative_k=3),
+        eos_token_id=-1)[0]
+    assert got == ref
