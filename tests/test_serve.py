@@ -213,3 +213,42 @@ def test_web_server_messages_helper():
                     {"role": "user", "content": "more"},
                     {"role": "assistant", "content": "sure"},
                     {"role": "user", "content": "and now ?"}]
+
+
+def test_worker_session_cache_multiturn(serve_stack):
+    """Prefix-cached worker turns: same replies as stateless mode, the
+    store registers a hit, and streaming yields incremental chunks (the
+    engine stream_cb is wired through mm_infer)."""
+    from videollama2_tpu.inference.api import SessionStore
+
+    _, worker, ctrl_port, _ = serve_stack
+
+    def turn(prompt):
+        with _post(f"http://localhost:{ctrl_port}/worker_generate_stream",
+                   {"model": "tiny", "prompt": prompt,
+                    "temperature": 0.0, "max_new_tokens": 8},
+                   timeout=600) as r:
+            raw = r.read()
+        chunks = [json.loads(c) for c in raw.split(b"\0") if c]
+        assert chunks[-1]["error_code"] == 0
+        return chunks
+
+    msgs = [{"role": "user", "content": "what is in the video ?"}]
+    # stateless reference (store off)
+    assert worker.session_store is None
+    ref1 = turn(list(msgs))[-1]["text"]
+    msgs2 = msgs + [{"role": "assistant", "content": ref1},
+                    {"role": "user", "content": "and then what ?"}]
+    ref2 = turn(list(msgs2))[-1]["text"]
+
+    worker.session_store = SessionStore(cap=2)
+    try:
+        chunks1 = turn(list(msgs))
+        assert chunks1[-1]["text"] == ref1
+        assert len(chunks1) >= 2, "no incremental stream chunks"
+        chunks2 = turn(list(msgs2))
+        assert chunks2[-1]["text"] == ref2
+        assert worker.session_store.stats["hits"] >= 1, (
+            f"prefix cache never hit: {worker.session_store.stats}")
+    finally:
+        worker.session_store = None

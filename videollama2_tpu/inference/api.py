@@ -171,7 +171,8 @@ def mm_infer(image_or_video, instruct, model: VideoLLaMA2, tokenizer,
     eos = tokenizer.eos_token_id
     outs = model.engine.generate([input_ids], frames=frames, audio=audio,
                                  gen=gen, eos_token_id=eos,
-                                 image_mode=(modal == "image"))
+                                 image_mode=(modal == "image"),
+                                 stream_cb=kwargs.get("stream_cb"))
     return tokenizer.decode(outs[0], skip_special_tokens=True).strip()
 
 
@@ -244,3 +245,186 @@ def _prep_audio(audio_input, cfg) -> "np.ndarray":
     if feats.shape[0] < T:
         feats = np.pad(feats, ((0, T - feats.shape[0]), (0, 0)))
     return feats[None, :T]
+
+
+class ChatSession:
+    """Multi-turn chat with prefix-cached KV (beyond-reference serving).
+
+    Each turn renders the FULL message history through the chat template
+    and multimodal-tokenizes it (build_prompt_ids). When the ids consumed
+    so far are a strict token prefix of the new render — true for the
+    Llama2/Mistral/Qwen chat formats whenever the decoded answer
+    retokenizes stably — only the new suffix feeds the engine
+    (Engine.generate_continue): the media is encoded once and the history
+    prefilled once across the whole conversation. Any prefix mismatch or
+    cache overflow falls back transparently to a fresh full-prompt
+    generate, so answers NEVER depend on prefix stability (and are always
+    token-identical to per-turn mm_infer calls — tests/test_session.py).
+
+    The reference re-runs its entire HF prefill (including the vision
+    tower) on every turn of a conversation (serve/cli.py history loop).
+    """
+
+    def __init__(self, image_or_video, model: VideoLLaMA2, tokenizer,
+                 modal: str = "video", **gen_kwargs):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.modal = modal
+        self.media = image_or_video
+        self.gen_kwargs = dict(gen_kwargs)
+        self.messages: list = []
+        self._session = None
+        self.stats = {"cached_turns": 0, "fresh_turns": 0}
+
+    def _gen(self):
+        kw = self.gen_kwargs
+        return GenerationConfig(
+            do_sample=kw.get("do_sample", False),
+            temperature=kw.get("temperature",
+                               0.2 if kw.get("do_sample", False) else 0.0),
+            top_p=kw.get("top_p", 0.9),
+            max_new_tokens=kw.get("max_new_tokens", 2048),
+            seed=kw.get("seed", 0),
+            speculative_k=kw.get("speculative_k", 0))
+
+    def ask(self, text: str) -> str:
+        cfg = self.model.config
+        eng = self.model.engine
+        self.messages.append({"role": "user", "content": text})
+        full_ids = build_prompt_ids(copy.deepcopy(self.messages), cfg,
+                                    self.tokenizer, self.modal)
+        sess = self._session
+        outs = None
+        if sess is not None:
+            known = sess.token_history
+            if (len(full_ids) > len(known)
+                    and full_ids[:len(known)] == list(known)):
+                try:
+                    outs, self._session = eng.generate_continue(
+                        sess, full_ids[len(known):], gen=self._gen(),
+                        eos_token_id=self.tokenizer.eos_token_id)
+                    self.stats["cached_turns"] += 1
+                except ValueError:  # cache exhausted
+                    outs = None
+        if outs is None:
+            frames = None
+            audio = None
+            if self.modal == "audio":
+                audio = _prep_audio(self.media, cfg)
+            elif self.modal != "text":
+                arr = np.asarray(self.media)
+                if arr.dtype != np.uint8:
+                    arr = arr.astype(np.float32)
+                if self.modal == "image":
+                    arr = np.broadcast_to(
+                        arr[:1], (cfg.num_frames,) + arr.shape[1:])
+                frames = arr[None]
+            outs, self._session = eng.generate(
+                [full_ids], frames=frames, audio=audio, gen=self._gen(),
+                eos_token_id=self.tokenizer.eos_token_id,
+                image_mode=(self.modal == "image"), return_session=True)
+            self.stats["fresh_turns"] += 1
+        reply = self.tokenizer.decode(
+            outs[0], skip_special_tokens=True).strip()
+        self.messages.append({"role": "assistant", "content": reply})
+        return reply
+
+
+class SessionStore:
+    """Thread-safe LRU of engine Sessions keyed by media digest, matched by
+    token-prefix — stateless serving's entry into prefix caching.
+
+    A worker receives full message lists per request; `take` finds a stored
+    session whose consumed ids are a strict prefix of the incoming render
+    (same media) and REMOVES it (generate_continue donates the cache, so a
+    session is single-use until re-`put`). Each live session holds a full
+    KV cache on device (~1 GB at 7B bf16 / max_len 4096), so the default
+    cap stays small.
+    """
+
+    def __init__(self, cap: int = 2):
+        import threading
+        self.cap = cap
+        self._entries: list = []          # [(digest, Session)]
+        self._lock = threading.Lock()
+        self.stats = {"hits": 0, "misses": 0}
+
+    @staticmethod
+    def media_digest(media) -> Optional[str]:
+        if media is None:
+            return None
+        import hashlib
+        arr = np.ascontiguousarray(np.asarray(media))
+        return hashlib.md5(
+            arr.tobytes() + str(arr.shape).encode()).hexdigest()
+
+    def take(self, digest, full_ids):
+        with self._lock:
+            for i, (d, sess) in enumerate(self._entries):
+                known = sess.token_history
+                if (d == digest and len(full_ids) > len(known)
+                        and full_ids[:len(known)] == list(known)):
+                    self._entries.pop(i)
+                    self.stats["hits"] += 1
+                    return sess
+            self.stats["misses"] += 1
+            return None
+
+    def put(self, digest, session):
+        with self._lock:
+            self._entries.append((digest, session))
+            while len(self._entries) > self.cap:
+                self._entries.pop(0)
+
+
+def mm_infer_session(image_or_video, instruct, model: VideoLLaMA2,
+                     tokenizer, store: SessionStore, modal: str = "video",
+                     **kwargs) -> str:
+    """mm_infer with prefix caching through a SessionStore.
+
+    Output is identical to mm_infer (tests/test_serve.py multi-turn); when
+    the rendered prompt extends a stored session's ids over the same media,
+    only the new tokens feed the engine (Engine.generate_continue).
+    """
+    cfg = model.config
+    full_ids = build_prompt_ids(instruct, cfg, tokenizer, modal)
+    digest = store.media_digest(
+        None if modal == "text" else image_or_video)
+    gen = GenerationConfig(
+        do_sample=kwargs.get("do_sample", False),
+        temperature=kwargs.get("temperature",
+                               0.2 if kwargs.get("do_sample", False)
+                               else 0.0),
+        top_p=kwargs.get("top_p", 0.9),
+        max_new_tokens=kwargs.get("max_new_tokens", 2048),
+        seed=kwargs.get("seed", 0),
+        speculative_k=kwargs.get("speculative_k", 0))
+    eos = tokenizer.eos_token_id
+    sess = store.take(digest, full_ids)
+    outs = None
+    if sess is not None:
+        try:
+            outs, sess = model.engine.generate_continue(
+                sess, full_ids[len(sess.token_history):], gen=gen,
+                eos_token_id=eos, stream_cb=kwargs.get("stream_cb"))
+        except ValueError:  # cache exhausted: fall through to fresh
+            outs = None
+    if outs is None:
+        frames = None
+        audio = None
+        if modal == "audio":
+            audio = _prep_audio(image_or_video, cfg)
+        elif modal != "text":
+            arr = np.asarray(image_or_video)
+            if arr.dtype != np.uint8:
+                arr = arr.astype(np.float32)
+            if modal == "image":
+                arr = np.broadcast_to(arr[:1],
+                                      (cfg.num_frames,) + arr.shape[1:])
+            frames = arr[None]
+        outs, sess = model.engine.generate(
+            [full_ids], frames=frames, audio=audio, gen=gen,
+            eos_token_id=eos, image_mode=(modal == "image"),
+            stream_cb=kwargs.get("stream_cb"), return_session=True)
+    store.put(digest, sess)
+    return tokenizer.decode(outs[0], skip_special_tokens=True).strip()

@@ -54,6 +54,26 @@ class GenerationConfig:
     speculative_k: int = 0
 
 
+@dataclass
+class Session:
+    """Prefix-cached generation state for multi-turn chat (batch-1).
+
+    Holds the live KV cache after a generate() so follow-up turns feed ONLY
+    their new tokens through K-token verify passes (models/llm.decode_verify)
+    instead of re-encoding media and re-prefilling the whole history — the
+    reference re-runs its full HF prefill every turn. Logical RoPE positions
+    continue across turns (valid_len + steps_done), so a continued
+    generation is token-identical to a fresh full-prompt generation
+    (tests/test_session.py).
+    """
+    cache: Any
+    bucket: int
+    steps_done: int          # tokens embedded at cache rows [bucket, ...)
+    valid_len: np.ndarray    # [1] spliced prompt length of turn 1
+    last_token: int          # newest emitted token (KV not yet written)
+    token_history: list      # prompt ids (incl. modal tags) + all later ids
+
+
 class Engine:
     """Compiled generation over a fixed ModelConfig + params."""
 
@@ -264,8 +284,10 @@ class Engine:
         return decode_chunk_fn
 
     def _get_verify(self, bucket: int, k: int):
-        """Jitted K-slot speculative verify (greedy ids only cross the
-        wire, not [K, V] logits)."""
+        """Jitted K-slot verify: returns per-slot greedy ids (the [K, V]
+        logits never cross the wire) plus the final slot's logits (consumed
+        lazily — only session continuation fetches them, to sample the
+        first token of the new turn)."""
         key = (bucket, k)
         if key not in self._verify_cache:
             cfg = self.cfg
@@ -277,13 +299,15 @@ class Engine:
                 logits, cache = llm_lib.decode_verify(
                     params["llm"], cfg.llm, te, cache, valid_len, bucket,
                     step0)
-                return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return greedy, logits[:, -1], cache
 
             self._verify_cache[key] = verify_fn
         return self._verify_cache[key]
 
     def _decode_speculative(self, outs, done_np, cache, valid_arr,
-                            bucket, eos, gen, stop_fn, stream_cb, context):
+                            bucket, eos, gen, stop_fn, stream_cb, context,
+                            step0=0):
         """Greedy batch-1 speculative decode loop (see
         inference/speculative.py). Returns (outs, cache, steps_done,
         done_np); the caller's plain chunked loop finishes any cache-budget
@@ -292,15 +316,14 @@ class Engine:
         k = gen.speculative_k
         verify = self._get_verify(bucket, k)
         budget = self.max_len - bucket
-        step0 = 0
         while (not done_np[0] and len(outs[0]) < gen.max_new_tokens
                and step0 + k <= budget):
             last = outs[0][-1]
             drafts = spec.ngram_propose(context + outs[0], k - 1)
             drafts += [last] * (k - 1 - len(drafts))  # pad: rejected free
             tokens = jnp.asarray([[last] + drafts], jnp.int32)
-            greedy, cache = verify(self.params, tokens, cache, valid_arr,
-                                   jnp.int32(step0))
+            greedy, _, cache = verify(self.params, tokens, cache, valid_arr,
+                                      jnp.int32(step0))
             emitted, accepted = spec.accept_drafts(
                 drafts, [int(t) for t in np.asarray(greedy)[0]])
             # budget caps: never emit past max_new_tokens
@@ -355,7 +378,8 @@ class Engine:
                  image_mode: bool = False,
                  share_media: bool = False,
                  media_group: Optional[Sequence[int]] = None,
-                 ) -> List[List[int]]:
+                 return_session: bool = False,
+                 ):
         """Generate continuations for a batch of tokenized prompts.
 
         batch_input_ids may contain negative modal tokens; frames is
@@ -372,6 +396,8 @@ class Engine:
         """
         from ..constants import AUDIO_TOKEN_INDEX
         cfg = self.cfg
+        if return_session and len(batch_input_ids) != 1:
+            raise ValueError("sessions are batch-1 (multi-turn chat)")
         eos = eos_token_id if eos_token_id is not None else cfg.llm.eos_token_id
         B = len(batch_input_ids)
         mode = ("av" if frames is not None and audio is not None else
@@ -425,8 +451,6 @@ class Engine:
             logits, cache = prefill(self.params, plan_args[0], plan_args[3],
                                     cache)
 
-        decode = self._get_decode(gen.do_sample, gen.temperature, gen.top_p,
-                                  bucket)
         rng = jax.random.PRNGKey(gen.seed)
         rng, sub = jax.random.split(rng)
         first = sampling.select_token(sub, logits, gen.do_sample,
@@ -438,19 +462,38 @@ class Engine:
             for b in range(B):
                 stream_cb(b, outs[b])
 
-        tokens = first
         valid_arr = jnp.asarray(plan.valid_len)
-        steps_done = 0
+        context = [t for t in batch_input_ids[0] if t >= 0]
+        outs, cache, steps_done = self._decode_tail(
+            outs, done_np, cache, valid_arr, bucket, 0, first, rng, eos,
+            gen, stop_fn, stream_cb, context)
+        if return_session:
+            session = Session(
+                cache=cache, bucket=bucket, steps_done=steps_done,
+                valid_len=np.asarray(plan.valid_len).copy(),
+                last_token=outs[0][-1],
+                token_history=list(batch_input_ids[0]) + list(outs[0]))
+            return outs, session
+        return outs
+
+    def _decode_tail(self, outs, done_np, cache, valid_arr, bucket,
+                     steps_done, tokens, rng, eos, gen, stop_fn, stream_cb,
+                     context):
+        """Shared decode loop after a first token exists: speculative loop
+        (when eligible) then chunked scan decode for the remainder.
+        Returns (outs, cache, steps_done)."""
+        B = len(outs)
         if gen.speculative_k >= 2 and B == 1 and not gen.do_sample:
             # prompt-lookup speculative decode (greedy batch-1 only; output
             # tokens identical to the plain loop below). Any cache-budget
             # tail (< k rows left) falls through to the plain loop.
-            context = [t for t in batch_input_ids[0] if t >= 0]
             outs, cache, steps_done, done_np = self._decode_speculative(
                 outs, done_np, cache, valid_arr, bucket, eos, gen,
-                stop_fn, stream_cb, context)
+                stop_fn, stream_cb, context, steps_done)
             tokens = jnp.asarray([outs[0][-1]], jnp.int32)
         done = jnp.asarray(done_np)
+        decode = self._get_decode(gen.do_sample, gen.temperature, gen.top_p,
+                                  bucket)
         # generated tokens occupy cache rows [bucket, max_len)
         budget = self.max_len - bucket
         remaining = min(gen.max_new_tokens - len(outs[0]),
@@ -478,4 +521,67 @@ class Engine:
             remaining -= steps
             steps_done += steps
             done = jnp.asarray(done_np) | done
-        return outs
+        return outs, cache, steps_done
+
+    def generate_continue(self, session: Session,
+                          new_ids: Sequence[int],
+                          gen: GenerationConfig = GenerationConfig(),
+                          eos_token_id: Optional[int] = None,
+                          stop_fn: Optional[Callable] = None,
+                          stream_cb: Optional[Callable] = None):
+        """Continue a Session with a new text-only turn (prefix caching).
+
+        Feeds [last_token] + new_ids through K-slot verify chunks — the
+        media stays encoded and the history stays prefilled in the
+        session's cache — then decodes as usual. Output tokens are
+        identical to a fresh generate() over the concatenated history
+        (tests/test_session.py). Raises ValueError when the new turn +
+        requested tokens cannot fit the session cache; callers fall back
+        to a fresh full-prompt generate.
+
+        Returns (new token ids, updated Session).
+        """
+        cfg = self.cfg
+        eos = (eos_token_id if eos_token_id is not None
+               else cfg.llm.eos_token_id)
+        assert all(t >= 0 for t in new_ids), \
+            "continuation turns are text-only; re-send media via generate()"
+        feed = [session.last_token] + [int(t) for t in new_ids]
+        if session.bucket + session.steps_done + len(feed) + 1 > self.max_len:
+            raise ValueError("session cache exhausted: "
+                             f"{session.steps_done + len(feed)} generated+fed"
+                             f" tokens > budget {self.max_len - session.bucket}")
+        valid_arr = jnp.asarray(session.valid_len)
+        cache = session.cache
+        steps_done = session.steps_done
+        last_logits = None
+        pos = 0
+        # static chunk sizes so at most 3 verify programs compile
+        while pos < len(feed):
+            size = next(c for c in (32, 8, 1) if c <= len(feed) - pos)
+            verify = self._get_verify(session.bucket, size)
+            chunk = jnp.asarray([feed[pos:pos + size]], jnp.int32)
+            _, last_logits, cache = verify(self.params, chunk, cache,
+                                           valid_arr, jnp.int32(steps_done))
+            steps_done += size
+            pos += size
+
+        rng = jax.random.PRNGKey(gen.seed)
+        rng, sub = jax.random.split(rng)
+        first = sampling.select_token(sub, last_logits, gen.do_sample,
+                                      gen.temperature, gen.top_p)
+        first = first.astype(jnp.int32)
+        outs = [[int(first[0])]]
+        done_np = np.array([outs[0][0] == eos])
+        if stream_cb is not None:
+            stream_cb(0, outs[0])
+        history = session.token_history + list(new_ids)
+        context = [t for t in history if t >= 0]
+        outs, cache, steps_done = self._decode_tail(
+            outs, done_np, cache, valid_arr, session.bucket, steps_done,
+            first, rng, eos, gen, stop_fn, stream_cb, context)
+        new_session = Session(
+            cache=cache, bucket=session.bucket, steps_done=steps_done,
+            valid_len=session.valid_len, last_token=outs[0][-1],
+            token_history=history + list(outs[0]))
+        return outs, new_session

@@ -22,7 +22,8 @@ def main():
                          "turns (inference/speculative.py)")
     args = ap.parse_args()
 
-    from .. import mm_infer, model_init
+    from .. import model_init
+    from ..inference.api import ChatSession
 
     model, processor, tokenizer = model_init(args.model_path)
 
@@ -32,7 +33,14 @@ def main():
     elif args.image_file:
         tensor, modal = processor["image"](args.image_file), "image"
 
-    history = []
+    # prefix-cached multi-turn chat: the media is encoded and the history
+    # prefilled ONCE; each later turn feeds only its new tokens
+    # (inference/api.ChatSession; the reference re-prefills every turn)
+    chat = ChatSession(tensor, model, tokenizer, modal=modal,
+                       do_sample=args.do_sample,
+                       temperature=args.temperature,
+                       max_new_tokens=args.max_new_tokens,
+                       speculative_k=args.speculative)
     print("Type your message ('exit' to quit).")
     while True:
         try:
@@ -41,15 +49,7 @@ def main():
             break
         if text.strip().lower() in ("exit", "quit"):
             break
-        history.append({"role": "user", "content": text})
-        reply = mm_infer(tensor, history if len(history) > 1 else text,
-                         model, tokenizer, modal=modal,
-                         do_sample=args.do_sample,
-                         temperature=args.temperature,
-                         max_new_tokens=args.max_new_tokens,
-                         speculative_k=args.speculative)
-        history.append({"role": "assistant", "content": reply})
-        print(f"ASSISTANT: {reply}")
+        print(f"ASSISTANT: {chat.ask(text)}")
 
 
 if __name__ == "__main__":

@@ -42,16 +42,18 @@ def _check_safety(text: str) -> bool:
 
 
 class ModelWorker:
-    # class-level default: tests (and any embedder) may build the worker
+    # class-level defaults: tests (and any embedder) may build the worker
     # via __new__ + attribute assembly without running __init__
     speculative_k = 0
+    session_store = None
 
     def __init__(self, controller_addr: str, worker_addr: str,
                  model_path: str, model_name: Optional[str] = None,
                  limit_concurrency: int = 5, register: bool = True,
                  num_frames: Optional[int] = None,
                  dynamic_batch: bool = False,
-                 speculative_k: int = 0):
+                 speculative_k: int = 0,
+                 session_cache: int = 2):
         from ..inference import api as api_lib
         from ..multimodal.tokenizer import get_model_name_from_path
 
@@ -71,6 +73,15 @@ class ModelWorker:
             self.model.config = self.model.config.replace(
                 num_frames=num_frames)
         self.speculative_k = speculative_k
+        self.session_store = None
+        if session_cache > 0 and not dynamic_batch:
+            # prefix caching for multi-turn chat: follow-up turns skip the
+            # vision encode + history prefill (inference/api.SessionStore);
+            # each cached session holds a KV cache on device, so the cap is
+            # small. Disabled under continuous batching (batch>1 engine
+            # calls don't produce sessions).
+            from ..inference.api import SessionStore
+            self.session_store = SessionStore(cap=session_cache)
         self.semaphore = threading.Semaphore(limit_concurrency)
         self.limit_concurrency = limit_concurrency
         self._queue = 0
@@ -199,8 +210,16 @@ class ModelWorker:
 
         def run():
             try:
-                out = mm_infer(tensor, prompt, self.model, self.tokenizer,
-                               modal=modal, **kwargs)
+                from ..inference import api as api_lib
+                if self.session_store is not None:
+                    out = api_lib.mm_infer_session(
+                        tensor, prompt, self.model, self.tokenizer,
+                        self.session_store, modal=modal,
+                        stream_cb=stream_cb, **kwargs)
+                else:
+                    out = mm_infer(tensor, prompt, self.model,
+                                   self.tokenizer, modal=modal,
+                                   stream_cb=stream_cb, **kwargs)
                 emitted["text"] = out
             except Exception as e:  # degrade like the reference worker
                 logger.exception("generation failed")
@@ -327,6 +346,9 @@ def main():
     ap.add_argument("--dynamic-batch", action="store_true",
                     help="continuous batching: group concurrent requests "
                          "into one engine call (serve/batching.py)")
+    ap.add_argument("--session-cache", type=int, default=2, metavar="N",
+                    help="prefix-cache up to N chat sessions (KV cache "
+                         "stays on device across turns); 0 disables")
     ap.add_argument("--speculative", type=int, default=0, metavar="K",
                     help="prompt-lookup speculative decoding: verify K "
                          "tokens per decode pass on greedy single-stream "
@@ -344,7 +366,8 @@ def main():
                          register=not args.no_register,
                          num_frames=args.num_frames,
                          dynamic_batch=args.dynamic_batch,
-                         speculative_k=args.speculative)
+                         speculative_k=args.speculative,
+                         session_cache=args.session_cache)
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(worker))
     logger.info(f"worker listening on {args.host}:{args.port}")
