@@ -24,6 +24,9 @@ logger = build_logger("openai_api", "openai_api.log")
 
 
 class OpenAIBackend:
+    # class-level default: tests build the backend via __new__
+    session_store = None
+
     def __init__(self, model_path: str, model_name: str = None,
                  dynamic_batch: bool = False):
         from ..inference import api as api_lib
@@ -32,10 +35,17 @@ class OpenAIBackend:
         self.model, self.processor, self.tokenizer = api_lib.model_init(
             model_path)
         self.batcher = None
+        self.session_store = None
         if dynamic_batch:
             from .batching import DynamicBatcher
             self.batcher = DynamicBatcher(self.model, self.tokenizer,
                                           max_batch=8)
+        else:
+            # prefix caching for multi-turn chat completions: a follow-up
+            # request whose rendered prompt extends a cached session skips
+            # the media encode + history prefill (inference/api.SessionStore)
+            from ..inference.api import SessionStore
+            self.session_store = SessionStore(cap=2)
 
     def _extract_media(self, messages):
         """Pull the first media part out of the message list; returns
@@ -100,6 +110,11 @@ class OpenAIBackend:
                     raise RuntimeError(text)
                 if kind == "done":
                     return text
+        if self.session_store is not None:
+            from ..inference.api import mm_infer_session
+            return mm_infer_session(
+                tensor, instruct, self.model, self.tokenizer,
+                self.session_store, modal=modal, **kwargs)
         out = mm_infer(
             tensor, instruct, self.model, self.tokenizer, modal=modal,
             **kwargs)
