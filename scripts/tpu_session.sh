@@ -39,6 +39,8 @@ run bench_speculative 2400 python scripts/bench_speculative.py
 run profile_components 2400 python scripts/profile_components.py
 # int8 tower + W8A8 encode (the bench's load_8bit-parity config)
 run profile_vit_q8 1200 env VIT_Q8=1 STAGES=vit python scripts/profile_components.py
+# multi-turn prefix-cache latency
+run bench_session 2400 python scripts/bench_session.py
 # training step throughput
 run profile_train 2400 python scripts/profile_train.py
 # the headline bench (warmup diagnosis now logged to bench_cache_misses.txt)
