@@ -101,6 +101,11 @@ def _run(quantize_llm: bool):
 
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
+    # BENCH_SMALL_FULL=1: run the FULL TPU-branch logic (int8 packs, int8
+    # tower, tight bucket, pipelined iters) on the tiny CPU config — a
+    # regression net for the driver's real run, where these branches
+    # otherwise execute for the first time (tests/test_bench_paths.py)
+    full_path = on_tpu or os.environ.get("BENCH_SMALL_FULL") == "1"
 
     # BENCH_MODEL=qwen2 measures the 2.1-family flagship instead
     # (SigLIP-SO400M/384 x 729 patch tokens + Qwen2-7B, GQA 4 kv heads)
@@ -127,7 +132,7 @@ def _run(quantize_llm: bool):
         params = jax.tree.map(
             lambda a: jnp.full(a.shape, 0.01, a.dtype), abstract)
         wcfg = "bf16"
-        if quantize_llm and on_tpu:
+        if quantize_llm and full_path:
             # weight-only int8 LLM: halves HBM footprint and roughly doubles
             # the bandwidth-bound decode (dequant fused in-graph, ops/quant)
             def q8_like(entry):
@@ -188,8 +193,9 @@ def _run(quantize_llm: bool):
     t0 = time.time()
     eng = Engine(cfg, params,
                  dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-                 max_len=(tight_bucket + DECODE_TOKENS) if on_tpu else 128,
-                 buckets=(tight_bucket,) if on_tpu else (64,),
+                 max_len=((tight_bucket + DECODE_TOKENS) if full_path
+                          else 128),
+                 buckets=(tight_bucket,) if full_path else (64,),
                  decode_chunk=DECODE_TOKENS)
     # split warmup attribution: the Engine constructor device_puts the full
     # ~7.5 GB param tree over the (possibly tunnel-serialized) host->device
