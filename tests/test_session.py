@@ -102,6 +102,37 @@ def test_session_text_only_and_eos(tiny):
     assert ans2[0] == ref
 
 
+@pytest.mark.parametrize("spec_k", [0, 3])
+def test_session_after_mid_chunk_eos(tiny, spec_k):
+    """Regression: EOS landing inside a decode chunk (or speculative round)
+    leaves orphan cache rows past the last emitted token (forced-EOS /
+    rejected-draft KVs). The session frontier must be the EMITTED token
+    count, not the loop's step count — otherwise the continued turn attends
+    garbage rows and diverges from a fresh generation."""
+    cfg, params = tiny
+    prompt = [3, 4, 5, 6, 3, 4]
+    eng = Engine(cfg, params, dtype=jnp.float32, max_len=96, buckets=(32,),
+                 attn_impl="xla", decode_chunk=4)
+    # discover what the model greedily emits, then force EOS at the second
+    # generated token: it lands mid-chunk (chunk=4) / mid-verify (k=3)
+    probe = eng.generate([prompt], gen=GenerationConfig(max_new_tokens=6),
+                         eos_token_id=-1)[0]
+    eos = probe[1]
+    g = GenerationConfig(max_new_tokens=6, speculative_k=spec_k)
+    ans, sess = eng.generate([prompt], gen=g, eos_token_id=eos,
+                             return_session=True)
+    assert ans[0][-1] == eos and len(ans[0]) <= 3, \
+        "setup failed: EOS not mid-chunk"
+    assert sess.steps_done == len(ans[0]) - 1
+    turn2 = [9, 10]
+    ans2, _ = eng.generate_continue(sess, turn2, gen=g, eos_token_id=eos)
+    fresh = Engine(cfg, params, dtype=jnp.float32, max_len=96,
+                   buckets=(32,), attn_impl="xla", decode_chunk=4)
+    ref = fresh.generate([prompt + ans[0] + turn2], gen=g,
+                         eos_token_id=eos)[0]
+    assert ans2[0] == ref
+
+
 def test_session_cache_exhaustion_raises(tiny):
     cfg, params = tiny
     eng = Engine(cfg, params, dtype=jnp.float32, max_len=40, buckets=(32,),

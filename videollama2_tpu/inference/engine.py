@@ -468,8 +468,16 @@ class Engine:
             outs, done_np, cache, valid_arr, bucket, 0, first, rng, eos,
             gen, stop_fn, stream_cb, context)
         if return_session:
+            # steps_done from the LOOP over-counts when EOS landed inside a
+            # chunk / speculative round (the remaining masked steps embed
+            # forced-EOS or draft tokens at later rows). The session's
+            # frontier is the last row belonging to the SEQUENCE: token i of
+            # outs was embedded at row bucket+i, and outs[-1] is not yet
+            # embedded — so exactly len(outs)-1 rows are committed. Rows
+            # beyond hold orphans that the continuation overwrites before
+            # its mask frontier ever reaches them.
             session = Session(
-                cache=cache, bucket=bucket, steps_done=steps_done,
+                cache=cache, bucket=bucket, steps_done=len(outs[0]) - 1,
                 valid_len=np.asarray(plan.valid_len).copy(),
                 last_token=outs[0][-1],
                 token_history=list(batch_input_ids[0]) + list(outs[0]))
@@ -577,11 +585,15 @@ class Engine:
             stream_cb(0, outs[0])
         history = session.token_history + list(new_ids)
         context = [t for t in history if t >= 0]
+        feed_end = steps_done            # rows committed after the feed
         outs, cache, steps_done = self._decode_tail(
             outs, done_np, cache, valid_arr, session.bucket, steps_done,
             first, rng, eos, gen, stop_fn, stream_cb, context)
+        # same over-count correction as generate(): only len(outs)-1 decode
+        # rows after the feed belong to the sequence
         new_session = Session(
-            cache=cache, bucket=session.bucket, steps_done=steps_done,
+            cache=cache, bucket=session.bucket,
+            steps_done=feed_end + len(outs[0]) - 1,
             valid_len=session.valid_len, last_token=outs[0][-1],
             token_history=history + list(outs[0]))
         return outs, new_session
