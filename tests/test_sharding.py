@@ -141,6 +141,24 @@ def test_inference_sharded_matches_single(tiny_setup):
             eos_token_id=-1)[0]
     assert out_s == out1
 
+    # prefix-cached session continuation on the sharded engine
+    with mesh:
+        eng_c = Engine(cfg, params, dtype=jnp.float32, max_len=96,
+                       buckets=(32,), attn_impl="xla", decode_chunk=4,
+                       shard_fn=lambda p: sh.shard_params(mesh, p))
+        a1, sess = eng_c.generate(
+            [[3, 4, 5]], gen=GenerationConfig(max_new_tokens=4),
+            eos_token_id=-1, return_session=True)
+        a2, _ = eng_c.generate_continue(
+            sess, [7, 8], gen=GenerationConfig(max_new_tokens=4),
+            eos_token_id=-1)
+    eng1_b = Engine(cfg, params, dtype=jnp.float32, max_len=96,
+                    buckets=(32,), attn_impl="xla", decode_chunk=4)
+    ref2 = eng1_b.generate([[3, 4, 5] + a1[0] + [7, 8]],
+                           gen=GenerationConfig(max_new_tokens=4),
+                           eos_token_id=-1)[0]
+    assert a2[0] == ref2
+
 
 def test_sequence_parallel_step_matches_unsharded(tiny_setup):
     """Ulysses SP (tokens sharded over `seq`, heads for attention): the
