@@ -37,6 +37,8 @@ run profile_decode 1200 python scripts/profile_decode.py
 run bench_speculative 2400 python scripts/bench_speculative.py
 # component stages (encode/prefill/decode attribution)
 run profile_components 2400 python scripts/profile_components.py
+# decode isolated vs after-prefill ordering (the 14.7 vs 22.8 ms gap)
+run profile_decode_isolated 1200 env STAGES=decode python scripts/profile_components.py
 # int8 tower + W8A8 encode (the bench's load_8bit-parity config)
 run profile_vit_q8 1200 env VIT_Q8=1 STAGES=vit python scripts/profile_components.py
 # multi-turn prefix-cache latency

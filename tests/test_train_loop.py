@@ -284,3 +284,51 @@ def test_loss_decreases(corpus, tokenizer):
         state, metrics = step(state, batch)
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0] * 0.7, losses
+
+
+def test_preemption_signal_saves_and_resumes(corpus, tokenizer, tmp_path):
+    """SIGTERM mid-training saves a checkpoint at the current step and
+    exits cleanly; a new Trainer auto-resumes from it (preemptible TPU
+    pools send SIGTERM; the reference's HF Trainer dies uncheckpointed)."""
+    import os as _os
+    import signal
+    import jax
+    from videollama2_tpu.core import config as cfglib
+    from videollama2_tpu.models import videollama2 as vl2
+    from videollama2_tpu.train import data as data_lib
+    from videollama2_tpu.train import optimizer as opt_lib
+    from videollama2_tpu.train.trainer import Trainer, TrainerConfig
+
+    root, anno = corpus
+    cfg = cfglib.tiny_model()
+    params = vl2.init_params(jax.random.PRNGKey(0), cfg)
+    da = data_lib.DataArguments(data_path=[anno], data_folder=root)
+    ds = data_lib.SupervisedDataset([anno], tokenizer, da, cfg)
+    out = str(tmp_path / "run")
+    ocfg = opt_lib.OptimizerConfig(learning_rate=1e-3)
+    tcfg = TrainerConfig(output_dir=out, per_device_batch_size=1,
+                         num_epochs=8, max_steps=4, seq_len=64,
+                         save_steps=100, log_steps=10,
+                         compute_dtype="float32",
+                         mesh_data=2, mesh_fsdp=2, mesh_tensor=2)
+    trainer = Trainer(cfg, params, ds, ocfg, tcfg)
+
+    orig_step, calls = trainer.step_fn, {"n": 0}
+
+    def step_then_preempt(state, batch):
+        calls["n"] += 1
+        if calls["n"] == 1:  # signal lands while step 1 is in flight
+            _os.kill(_os.getpid(), signal.SIGTERM)
+        return orig_step(state, batch)
+
+    trainer.step_fn = step_then_preempt
+    state = trainer.train()
+    assert int(state.step) == 1, "did not stop at the preempted step"
+    from videollama2_tpu.checkpoint import orbax_io
+    ckpt_dir = _os.path.join(out, "checkpoints")
+    assert orbax_io.latest_step(ckpt_dir) == 1
+
+    trainer2 = Trainer(cfg, params, ds, ocfg, tcfg)
+    assert trainer2.start_step == 1
+    state2 = trainer2.train()
+    assert int(state2.step) == 4

@@ -55,7 +55,20 @@ def restore_train_state(directory: str, abstract_state: Any,
         step = mgr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoints in {directory}")
-    return mgr.restore(step, args=ocp.args.StandardRestore(abstract_state))
+    restored = mgr.restore(step,
+                           args=ocp.args.StandardRestore(abstract_state))
+
+    # Re-pin every leaf to the template's sharding: StandardRestore leaves
+    # scalar/replicated leaves (e.g. optax `count`) on a single device,
+    # which poisons the next jitted train step with mixed device sets
+    # ("incompatible devices" — caught by the preemption-resume test; the
+    # plain resume test never stepped after restoring).
+    def _repin(template, leaf):
+        if hasattr(template, "sharding") and hasattr(leaf, "sharding") \
+                and leaf.sharding != template.sharding:
+            return jax.device_put(leaf, template.sharding)
+        return leaf
+    return jax.tree.map(_repin, abstract_state, restored)
 
 
 def save_projector_only(directory: str, connector_params: Any) -> None:

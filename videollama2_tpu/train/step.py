@@ -160,8 +160,21 @@ def init_sharded_state(mesh: Mesh, params_host, tx,
     Moment tensors are same-shaped as params, so initializing under jit lets
     XLA propagate the param shardings into the optimizer state — the
     ZeRO-style sharded-optimizer layout with zero bookkeeping.
+
+    Scalar leaves (optax `count`, the step counter) come out of jit as
+    single-device arrays; pin them replicated on the mesh. Left
+    single-device they work only by accident (uncommitted outputs auto-
+    move) — a checkpoint RESTORE commits them to device 0 and the next
+    jitted step rejects the mixed device set.
     """
     params = sh.shard_params(mesh, params_host, is_moe)
     opt_state = jax.jit(tx.init)(params)
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+
+    def _replicate_scalars(a):
+        if isinstance(a.sharding, jax.sharding.SingleDeviceSharding):
+            return jax.device_put(a, rep)
+        return a
+    opt_state = jax.tree.map(_replicate_scalars, opt_state)
     return TrainState(params=params, opt_state=opt_state,
-                      step=jnp.zeros((), jnp.int32))
+                      step=jax.device_put(jnp.zeros((), jnp.int32), rep))

@@ -117,6 +117,7 @@ class Trainer:
         t0 = time.time()
         log_path = os.path.join(self.cfg.output_dir, "train_log.jsonl")
         os.makedirs(self.cfg.output_dir, exist_ok=True)
+        self._install_preemption_handler()
         with self.mesh, open(log_path, "a") as logf:
             for epoch in range(self.cfg.num_epochs):
                 for batch in self._batch_iterator(epoch):
@@ -124,6 +125,15 @@ class Trainer:
                         break
                     self.state, metrics = self.step_fn(self.state, batch)
                     step += 1
+                    if self._preempted:
+                        # preemption-safe shutdown (beyond reference — HF
+                        # Trainer dies uncheckpointed on SIGTERM): TPU pools
+                        # commonly run preemptible; save NOW and exit clean
+                        # so auto-resume continues from this exact step
+                        print(f"preemption signal received — saving at "
+                              f"step {step} and exiting", flush=True)
+                        self.save(step)
+                        return self.state
                     if step % self.cfg.log_steps == 0:
                         m = {k: float(v) for k, v in metrics.items()}
                         m.update(step=step,
@@ -139,6 +149,20 @@ class Trainer:
                         self.save(step)
             self.save(step)
         return self.state
+
+    def _install_preemption_handler(self):
+        import signal
+
+        self._preempted = False
+
+        def _on_term(signum, frame):
+            self._preempted = True
+        try:
+            signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:
+            # not the main thread (embedded/test use) — preemption save
+            # unavailable, training still runs
+            pass
 
     def save(self, step: int):
         if step == self._last_saved:
