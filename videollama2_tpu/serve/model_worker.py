@@ -191,8 +191,10 @@ class ModelWorker:
             top_p=float(params.get("top_p", 0.9)),
             max_new_tokens=min(int(params.get("max_new_tokens", 256)), 1024),
             # latency lever for single-stream greedy requests; the engine
-            # no-ops it for sampled or batched generations
-            speculative_k=self.speculative_k,
+            # no-ops it for sampled or batched generations. Per-request
+            # override rides the JSON body.
+            speculative_k=int(params.get("speculative_k",
+                                         self.speculative_k)),
         )
 
         if self.batcher is not None:
