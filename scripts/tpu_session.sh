@@ -19,7 +19,15 @@ print('TPU OK')
 }
 
 echo "$(date +%T) waiting for TPU..." >> /tmp/tpu_queue/status.log
+# deadline: stop waiting after ~4 h so a late-returning tunnel is left
+# entirely to the driver's end-of-round bench (no chip contention)
+tries=0
 until probe; do
+  tries=$((tries + 1))
+  if [ "$tries" -gt 80 ]; then
+    echo "$(date +%T) deadline reached — exiting without measurements"       >> /tmp/tpu_queue/status.log
+    exit 0
+  fi
   sleep 180
 done
 echo "$(date +%T) TPU up — running queue" >> /tmp/tpu_queue/status.log
@@ -45,7 +53,7 @@ run profile_vit_q8 1200 env VIT_Q8=1 STAGES=vit python scripts/profile_component
 run bench_session 2400 python scripts/bench_session.py
 # training step throughput
 run profile_train 2400 python scripts/profile_train.py
-# the headline bench (warmup diagnosis now logged to bench_cache_misses.txt)
-run bench 3600 python bench.py
+# NOTE: the headline bench is deliberately NOT here — the driver runs it
+# at round end; run `python bench.py` manually while iterating.
 
 echo "$(date +%T) queue complete" >> /tmp/tpu_queue/status.log
