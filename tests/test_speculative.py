@@ -124,9 +124,16 @@ def test_decode_verify_matches_sequential_steps(tiny, sliding_window):
                                rtol=2e-4, atol=2e-4)
 
 
-def test_decode_verify_resume_mid_stream(tiny):
-    """A verify block starting at step0>0 matches sequential decoding."""
+@pytest.mark.parametrize("sliding_window", [None, 20])
+def test_decode_verify_resume_mid_stream(tiny, sliding_window):
+    """A verify block starting at step0>0 matches sequential decoding —
+    including a binding sliding window (the logical-position mask path)."""
+    import dataclasses
     cfg, params = tiny
+    if sliding_window is not None:
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm,
+                                         sliding_window=sliding_window))
     bucket, max_len, K = 32, 64, 3
     prompt = [9, 8, 7, 6]
     plan, _, cache_a = _text_prefill(cfg, params, prompt, bucket, max_len)
@@ -236,6 +243,42 @@ def test_engine_speculative_int8_fused_qkv(tiny):
     plain = Engine(cfg, qparams, dtype=jnp.float32, max_len=64,
                    buckets=(32,), attn_impl="xla", decode_chunk=4)
     assert "qkv" in plain.params["llm"]["layers"]
+    ref = plain.generate([prompt], gen=GenerationConfig(max_new_tokens=10),
+                         eos_token_id=-1)[0]
+
+    eng = Engine(cfg, qparams, dtype=jnp.float32, max_len=64,
+                 buckets=(32,), attn_impl="xla", decode_chunk=4)
+    got = eng.generate(
+        [prompt],
+        gen=GenerationConfig(max_new_tokens=10, speculative_k=3),
+        eos_token_id=-1)[0]
+    assert got == ref
+
+
+def test_engine_speculative_with_lora_adapters(tiny):
+    """QLoRA serving config: unmerged LoRA adapters over an int8 base.
+    fuse_qkv must skip lora-carrying packs (TP/merge semantics) and the
+    speculative path must apply the adapters identically to plain decode."""
+    from videollama2_tpu.ops import quant
+    from videollama2_tpu.train import lora as lora_lib
+    cfg, params = tiny
+    qllm = quant.quantize_llm_params(params["llm"], bits=8)
+    lcfg = lora_lib.LoraConfig(r=4, alpha=8, targets=("q", "k", "v", "o"))
+    qllm = lora_lib.inject_lora(jax.random.PRNGKey(1), qllm, lcfg)
+    layers = dict(qllm["layers"])
+    for name in ("q", "k", "v", "o"):
+        lo = dict(layers[name]["lora"])
+        # nonzero delta so the adapters actually change outputs
+        lo["b"] = 0.05 * jax.random.normal(jax.random.PRNGKey(2),
+                                           lo["b"].shape, lo["b"].dtype)
+        layers[name] = dict(layers[name], lora=lo)
+    qparams = dict(params, llm=dict(qllm, layers=layers))
+    prompt = [3, 4, 5, 6, 3, 4, 5]
+
+    plain = Engine(cfg, qparams, dtype=jnp.float32, max_len=64,
+                   buckets=(32,), attn_impl="xla", decode_chunk=4)
+    assert "qkv" not in plain.params["llm"]["layers"], \
+        "fuse_qkv must skip lora-carrying packs"
     ref = plain.generate([prompt], gen=GenerationConfig(max_new_tokens=10),
                          eos_token_id=-1)[0]
 
