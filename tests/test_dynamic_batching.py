@@ -140,3 +140,19 @@ def test_openai_server_dynamic_batch(batch_stack, tmp_path):
         msg = out[tag]["choices"][0]["message"]
         assert msg["role"] == "assistant" and isinstance(msg["content"], str)
     assert batcher.stats["batches"] == b0 + 1  # shared one engine call
+
+
+def test_submit_ignores_unsupported_gen_kwargs(batch_stack):
+    """The worker forwards ONE kwargs dict to both the batched and the
+    mm_infer paths; batch-1-only knobs (speculative_k) must be accepted
+    and ignored here instead of raising TypeError."""
+    _, _, batcher = batch_stack
+    q = batcher.submit("hello there", "text", None, max_new_tokens=4,
+                       speculative_k=8)
+    while True:
+        kind, text = q.get(timeout=300)
+        if kind == "error":
+            raise AssertionError(text)
+        if kind == "done":
+            assert isinstance(text, str)
+            break

@@ -74,10 +74,12 @@ class DynamicBatcher:
     # -- client side -------------------------------------------------------
 
     def submit(self, instruct, modal: str, tensor, *, do_sample=False,
-               temperature=0.2, top_p=0.9, max_new_tokens=256
-               ) -> "queue.Queue":
+               temperature=0.2, top_p=0.9, max_new_tokens=256,
+               **_unsupported) -> "queue.Queue":
         """Enqueue a request; returns a queue of ("chunk"|"done"|"error",
-        text) events."""
+        text) events. Extra generation kwargs (e.g. speculative_k, which
+        only applies to batch-1 greedy decoding) are accepted and
+        ignored — the worker forwards one kwargs dict to either path."""
         req = _Request(instruct=instruct, modal=modal, tensor=tensor,
                        do_sample=bool(do_sample),
                        temperature=float(temperature), top_p=float(top_p),
