@@ -392,7 +392,9 @@ class Engine:
         [B, audio.max_frames, 128] normalized fbank features or None. For
         joint AV prompts the <video>/<image> tag must precede <audio>.
         Returns newly generated ids per sample (EOS included, parity with
-        HF generate output minus the prompt).
+        HF generate output minus the prompt); with return_session=True
+        (batch-1 only) returns (ids, Session) for prefix-cached follow-up
+        turns via generate_continue.
         """
         from ..constants import AUDIO_TOKEN_INDEX
         cfg = self.cfg
