@@ -68,6 +68,11 @@ def _run(quantize_llm: bool):
     # tail, so warmup diagnosis must survive on disk.
     import logging as _logging
     cache_log = {"hit": 0, "miss": 0}
+    # latest run only (ADVICE r3): truncate instead of appending forever
+    try:
+        open("/root/repo/bench_cache_misses.txt", "w").close()
+    except OSError:
+        pass
 
     class _CacheLogHandler(_logging.Handler):
         def emit(self, record):
@@ -86,6 +91,24 @@ def _run(quantize_llm: bool):
             except OSError:
                 pass
     _logging.getLogger("jax._src.compiler").addHandler(_CacheLogHandler())
+
+    class _TraceMissToFile(_logging.Filter):
+        # jax_explain_cache_misses also makes partial_eval WARN on every
+        # tracing-cache miss; keep those in the file for diagnosis but OFF
+        # stderr, so the driver-preserved bench tail shows bench lines
+        # (VERDICT r3 #9), not retrace explanations.
+        def filter(self, record):
+            msg = record.getMessage()
+            if "TRACING CACHE MISS" not in msg:
+                return True
+            try:
+                with open("/root/repo/bench_cache_misses.txt", "a") as f:
+                    f.write(msg[:300] + "\n")
+            except OSError:
+                pass
+            return False
+    _logging.getLogger(
+        "jax._src.interpreters.partial_eval").addFilter(_TraceMissToFile())
     try:
         n_cached = len(os.listdir("/root/repo/.jax_cache"))
     except OSError:
@@ -119,61 +142,72 @@ def _run(quantize_llm: bool):
         # CPU smoke fallback so the script always emits a line
         cfg = cfglib.tiny_model()
 
-    # Build timing-equivalent weights on the host CPU backend: values don't
-    # affect MXU/HBM timing, so use cheap constant fills instead of minutes
-    # of single-core RNG over 7B elements; int8 packs are built directly
-    # (never materializing bf16+int8 together in the 16 GB HBM).
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        abstract = jax.eval_shape(
-            lambda: vl2.init_params(jax.random.PRNGKey(0), cfg,
-                                    dtype=jnp.bfloat16 if on_tpu
-                                    else jnp.float32))
-        params = jax.tree.map(
-            lambda a: jnp.full(a.shape, 0.01, a.dtype), abstract)
-        wcfg = "bf16"
-        if quantize_llm and full_path:
-            # weight-only int8 LLM: halves HBM footprint and roughly doubles
-            # the bandwidth-bound decode (dequant fused in-graph, ops/quant)
-            def q8_like(entry):
-                w = entry["kernel"]
-                return {"kernel_q8": {
-                    "q": jnp.ones(w.shape, jnp.int8),
-                    "scale": jnp.full(w.shape[:-2] + (1, w.shape[-1]),
-                                      1e-4, jnp.float32)}}
-            layers = dict(params["llm"]["layers"])
-            for name in ("q", "k", "v", "o", "gate", "up", "down"):
-                entry = dict(layers[name])
-                entry.update(q8_like(entry))
-                del entry["kernel"]
-                layers[name] = entry
-            params["llm"] = {**params["llm"], "layers": layers}
-            if model == "qwen2":
-                # 152k vocab: bf16 embed + lm_head alone are 2.2 GB and
-                # push the int8 7B past 16 GB HBM — store both int8
-                # (models/llm.embed_tokens / lm_logits q8 paths)
-                hk = params["llm"]["lm_head"]["kernel"]
-                params["llm"]["lm_head"] = {"kernel_q8": {
-                    "q": jnp.ones(hk.shape, jnp.int8),
-                    "scale": jnp.full((1, hk.shape[-1]), 1e-4,
-                                      jnp.float32)}}
-                ew = params["llm"]["embed"]["weight"]
-                params["llm"]["embed"] = {"weight_q8": {
-                    "q": jnp.ones(ew.shape, jnp.int8),
-                    "scale": jnp.full((ew.shape[0], 1), 1e-4,
-                                      jnp.float32)}}
-            # the frozen tower's stacked linears go int8 too (bitsandbytes
-            # load_8bit wraps every nn.Linear incl. the vision tower,
-            # reference model/__init__.py:59-69); encode then runs W8A8
-            # MXU dots inside the prefill context
-            vlayers = dict(params["vision"]["layers"])
-            for name in ("q", "k", "v", "o", "fc1", "fc2"):
-                entry = dict(vlayers[name])
-                entry.update(q8_like(entry))
-                del entry["kernel"]
-                vlayers[name] = entry
-            params["vision"] = {**params["vision"], "layers": vlayers}
-            wcfg = "int8-weights"
+    # Build timing-equivalent weights DIRECTLY ON THE DEVICE: values don't
+    # affect MXU/HBM timing, so the tree is constant fills — shaped
+    # abstractly on the host (eval_shape, zero FLOPs) and materialized by
+    # ONE jitted device-side program. Round 3 built the same fills on the
+    # host CPU and let the Engine device_put them: 666 s for ~7.5 GB over
+    # the ~11 MB/s tunnel (BENCH_r03). On-device fills write at HBM
+    # bandwidth and transfer nothing (VERDICT r3 #1a). int8 packs are built
+    # directly (never materializing bf16+int8 together in the 16 GB HBM).
+    sds = jax.ShapeDtypeStruct
+    abstract = jax.eval_shape(
+        lambda: vl2.init_params(jax.random.PRNGKey(0), cfg,
+                                dtype=jnp.bfloat16 if on_tpu
+                                else jnp.float32))
+    wcfg = "bf16"
+    if quantize_llm and full_path:
+        # weight-only int8 LLM: halves HBM footprint and roughly doubles
+        # the bandwidth-bound decode (dequant fused in-graph, ops/quant)
+        def q8_like(entry):
+            w = entry["kernel"]
+            return {"kernel_q8": {
+                "q": sds(w.shape, jnp.int8),
+                "scale": sds(w.shape[:-2] + (1, w.shape[-1]),
+                             jnp.float32)}}
+        layers = dict(abstract["llm"]["layers"])
+        for name in ("q", "k", "v", "o", "gate", "up", "down"):
+            entry = dict(layers[name])
+            entry.update(q8_like(entry))
+            del entry["kernel"]
+            layers[name] = entry
+        abstract["llm"] = {**abstract["llm"], "layers": layers}
+        if model == "qwen2":
+            # 152k vocab: bf16 embed + lm_head alone are 2.2 GB and
+            # push the int8 7B past 16 GB HBM — store both int8
+            # (models/llm.embed_tokens / lm_logits q8 paths)
+            hk = abstract["llm"]["lm_head"]["kernel"]
+            abstract["llm"]["lm_head"] = {"kernel_q8": {
+                "q": sds(hk.shape, jnp.int8),
+                "scale": sds((1, hk.shape[-1]), jnp.float32)}}
+            ew = abstract["llm"]["embed"]["weight"]
+            abstract["llm"]["embed"] = {"weight_q8": {
+                "q": sds(ew.shape, jnp.int8),
+                "scale": sds((ew.shape[0], 1), jnp.float32)}}
+        # the frozen tower's stacked linears go int8 too (bitsandbytes
+        # load_8bit wraps every nn.Linear incl. the vision tower,
+        # reference model/__init__.py:59-69); encode then runs W8A8
+        # MXU dots inside the prefill context
+        vlayers = dict(abstract["vision"]["layers"])
+        for name in ("q", "k", "v", "o", "fc1", "fc2"):
+            entry = dict(vlayers[name])
+            entry.update(q8_like(entry))
+            del entry["kernel"]
+            vlayers[name] = entry
+        abstract["vision"] = {**abstract["vision"], "layers": vlayers}
+        wcfg = "int8-weights"
+
+    def _fill_leaf(path, a):
+        if a.dtype == jnp.int8:
+            return jnp.ones(a.shape, a.dtype)
+        is_scale = any(getattr(k, "key", None) == "scale" for k in path)
+        return jnp.full(a.shape, 1e-4 if is_scale else 0.01, a.dtype)
+
+    t0 = time.time()
+    params = jax.jit(lambda: jax.tree_util.tree_map_with_path(
+        _fill_leaf, abstract))()
+    jax.block_until_ready(params)
+    t_fill = time.time() - t0
 
     H = cfg.vision.image_size
     T = cfg.num_frames
@@ -189,7 +223,8 @@ def _run(quantize_llm: bool):
     spliced = len(prompt) - 1 + cfg.tokens_per_video
     tight_bucket = -(-spliced // 128) * 128
 
-    print(f"[bench] params built ({wcfg})", file=sys.stderr, flush=True)
+    print(f"[bench] params materialized on device ({wcfg}) in "
+          f"{t_fill:.1f}s", file=sys.stderr, flush=True)
     t0 = time.time()
     eng = Engine(cfg, params,
                  dtype=jnp.bfloat16 if on_tpu else jnp.float32,
@@ -197,13 +232,13 @@ def _run(quantize_llm: bool):
                           else 128),
                  buckets=(tight_bucket,) if full_path else (64,),
                  decode_chunk=DECODE_TOKENS)
-    # split warmup attribution: the Engine constructor device_puts the full
-    # ~7.5 GB param tree over the (possibly tunnel-serialized) host->device
-    # link — block on EVERY leaf so transfer time isn't booked to "compile"
+    # params are already device-resident, so the constructor's device_put
+    # is a no-op; the residue here is the fp32->bf16 scale casts + qkv
+    # fusion concats, all on-device. Block so nothing leaks into "compile".
     jax.block_until_ready(eng.params)
     np.asarray(jax.tree.leaves(eng.params)[0].ravel()[:8])
     t_params = time.time() - t0
-    print(f"[bench] engine built + params on device in {t_params:.1f}s",
+    print(f"[bench] engine built in {t_params:.1f}s",
           file=sys.stderr, flush=True)
     gen = GenerationConfig(max_new_tokens=DECODE_TOKENS)
 
@@ -217,9 +252,10 @@ def _run(quantize_llm: bool):
 
     # distinct frames per iteration: guards against any execution-level
     # result caching between host and device (identical input buffers);
-    # 6 iters so the median survives tunnel-congestion outliers (single
-    # iters measured 2.6-11.2 s for identical work, BASELINE.md)
-    iters = 6 if on_tpu else 1
+    # 12 iters (VERDICT r3 #1b — affordable now the 11-minute param upload
+    # is gone) so the median survives tunnel-congestion outliers (single
+    # iters measured 2.6-15.4 s for identical work, BASELINE.md)
+    iters = int(os.environ.get("BENCH_ITERS", "12")) if on_tpu else 1
     frame_sets = [rng.integers(0, 255, (BATCH, T, H, H, 3), dtype=np.uint8)
                   for _ in range(iters)]
 
@@ -288,7 +324,8 @@ def _run(quantize_llm: bool):
         # comparison per stage; slot a measured A100 in alongside later
         "breakdown": {
             "weights": wcfg, "model": model, "batch": BATCH, "frames": T,
-            "params_to_device_s": round(t_params, 3),
+            "params_fill_on_device_s": round(t_fill, 3),
+            "engine_build_s": round(t_params, 3),
             "warmup_compile_s": round(t_warmup, 3),
             "persistent_cache": dict(cache_log),
             "transfer_s": round(t_transfer, 3),
@@ -297,6 +334,10 @@ def _run(quantize_llm: bool):
             "decode_ms_per_tok": round(decode_ms_per_tok, 2),
             "iter_times_s": [round(t, 3) for t in times],
             "median_iter_s": round(dt, 3),
+            "min_iter_s": round(float(np.min(times)), 3),
+            "iter_spread_s": round(float(np.max(times) - np.min(times)), 3),
+            "best_per_chip_videos_per_sec": round(
+                BATCH / float(np.min(times)), 4),
             "per_chip_videos_per_sec": round(videos_per_sec, 4),
             "analytic_a100_videos_per_sec": baseline,
         },

@@ -82,11 +82,18 @@ def main():
             try:
                 enc = jax.jit(
                     lambda q, k, v, hp=hp: enc_ops.encoder_attention(
-                        q, k, v, valid_len=vl, heads_per_cell=hp))
+                        q, k, v, valid_len=vl, heads_per_cell=hp,
+                        pack_pairs=False))
                 report(f"encoder_attention hp={hp}", timeit(enc, q, k, v))
             except Exception as e:  # noqa: BLE001 - keep sweeping
                 print(f"encoder_attention hp={hp}: {type(e).__name__}: "
                       f"{str(e)[:120]}", flush=True)
+
+        # block-diagonal head-pair packing: 2x dot FLOPs for full 128-lane
+        # MXU passes and 2 (not 2*hp) dots per cell (VERDICT r3 #2)
+        encp = jax.jit(lambda q, k, v: enc_ops.encoder_attention(
+            q, k, v, valid_len=vl, pack_pairs=True))
+        report("encoder_attention packed-pairs", timeit(encp, q, k, v))
 
     # ---- whole-tower decomposition: features() with real attention vs
     # attention stubbed to identity (everything-else time: dense, LN,

@@ -68,9 +68,10 @@ def test_flash_vjp_backward_runs():
                                    rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("hp", [1, 2, 4])
-def test_encoder_attention_matches_xla(hp):
-    """encoder_attention (MXU-bias masking, multi-head cells) vs XLA."""
+@pytest.mark.parametrize("hp,pack", [(1, False), (2, False), (4, False),
+                                     (4, True), (4, None)])
+def test_encoder_attention_matches_xla(hp, pack):
+    """encoder_attention (multi-head cells AND packed head pairs) vs XLA."""
     from videollama2_tpu.ops.encoder_attention import encoder_attention
     rng = np.random.default_rng(3)
     B, S, H, D = 2, 256, 4, 64
@@ -78,11 +79,23 @@ def test_encoder_attention_matches_xla(hp):
     valid = jnp.array([S, S - 57])
     ref = attend_xla(q, k, v, valid_len=valid, causal=False)
     got = encoder_attention(q, k, v, valid_len=valid, heads_per_cell=hp,
-                            interpret=True)
+                            interpret=True, pack_pairs=pack)
     for b, vl in enumerate([S, S - 57]):
         np.testing.assert_allclose(np.asarray(got[b, :vl]),
                                    np.asarray(ref[b, :vl]),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_encoder_attention_packed_auto_off_for_odd_head_dim():
+    """SigLIP-shaped hd=72 must auto-select the un-packed kernel."""
+    from videollama2_tpu.ops.encoder_attention import encoder_attention
+    rng = np.random.default_rng(5)
+    B, S, H, D = 1, 128, 4, 72
+    q, k, v = _rand_qkv(rng, B, S, H, H, D)
+    ref = attend_xla(q, k, v, causal=False)
+    got = encoder_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_encoder_attention_no_valid_len():
@@ -91,6 +104,24 @@ def test_encoder_attention_no_valid_len():
     B, S, H, D = 1, 128, 8, 64  # hp > H exercises the hp-reduction loop
     q, k, v = _rand_qkv(rng, B, S, H, H, D)
     ref = attend_xla(q, k, v, causal=False)
-    got = encoder_attention(q, k, v, heads_per_cell=16, interpret=True)
+    got = encoder_attention(q, k, v, heads_per_cell=16, interpret=True,
+                            pack_pairs=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_encoder_attention_packed_matches_unpacked():
+    """CLIP-L-shaped: packed pairs vs multi-head cells, same kernel family."""
+    from videollama2_tpu.ops.encoder_attention import encoder_attention
+    rng = np.random.default_rng(6)
+    B, S, H, D = 2, 128, 16, 64
+    q, k, v = _rand_qkv(rng, B, S, H, H, D)
+    valid = jnp.array([S, S - 31])
+    a = encoder_attention(q, k, v, valid_len=valid, interpret=True,
+                          pack_pairs=True)
+    b = encoder_attention(q, k, v, valid_len=valid, interpret=True,
+                          pack_pairs=False)
+    for i, vl in enumerate([S, S - 31]):
+        np.testing.assert_allclose(np.asarray(a[i, :vl]),
+                                   np.asarray(b[i, :vl]),
+                                   rtol=2e-5, atol=2e-5)

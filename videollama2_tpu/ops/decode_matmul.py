@@ -179,6 +179,22 @@ def matmul_q4_layered(x: jax.Array, q4: jax.Array, scale: jax.Array,
 # Fused SwiGLU FFN: out = (silu(x@G) * (x@U)) @ D, all weights layer-indexed
 # ---------------------------------------------------------------------------
 
+def _accumulate_and_emit(f, part, acc_ref, o_ref, ds_ref):
+    """Branchless grid-accumulation epilogue shared by the FFN kernels.
+
+    `jnp.where` instead of `@pl.when` closures: per-trace closures defeat
+    JAX's cond tracing cache (re-traced every retrace, and with
+    jax_explain_cache_misses on they spam a warning per closure per trace).
+    At f == 0 the scratch read is uninitialized garbage, but the select
+    discards that lane-wise, and the output block is grid-invariant (index
+    map (0, 0)) so the unconditional o_ref store is a VMEM-resident write
+    whose last value wins — no extra HBM traffic.
+    """
+    acc = jnp.where(f == 0, part, acc_ref[:] + part)
+    acc_ref[:] = acc
+    o_ref[:] = (acc * ds_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
 def _ffn_kernel(li_ref, x_ref, g_ref, gs_ref, u_ref, us_ref, d_ref, ds_ref,
                 o_ref, acc_ref):
     del li_ref
@@ -196,19 +212,7 @@ def _ffn_kernel(li_ref, x_ref, g_ref, gs_ref, u_ref, us_ref, d_ref, ds_ref,
     part = jax.lax.dot_general(h, d_ref[0].astype(x.dtype),
                                (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
-
-    @pl.when(f == 0)
-    def _init():
-        acc_ref[:] = part
-
-    @pl.when(f > 0)
-    def _acc():
-        acc_ref[:] += part
-
-    @pl.when(f == pl.num_programs(0) - 1)
-    def _emit():
-        o_ref[:] = (acc_ref[:] * ds_ref[0].astype(jnp.float32)
-                    ).astype(o_ref.dtype)
+    _accumulate_and_emit(f, part, acc_ref, o_ref, ds_ref)
 
 
 def _ffn4_kernel(li_ref, xlo_ref, xhi_ref, gl_ref, gls_ref, gh_ref, ghs_ref,
@@ -239,19 +243,7 @@ def _ffn4_kernel(li_ref, xlo_ref, xhi_ref, gl_ref, gls_ref, gh_ref, ghs_ref,
                                preferred_element_type=jnp.float32)
     part += jax.lax.dot_general(h_hi, dhi, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-
-    @pl.when(f == 0)
-    def _init():
-        acc_ref[:] = part
-
-    @pl.when(f > 0)
-    def _acc():
-        acc_ref[:] += part
-
-    @pl.when(f == pl.num_programs(0) - 1)
-    def _emit():
-        o_ref[:] = (acc_ref[:] * ds_ref[0].astype(jnp.float32)
-                    ).astype(o_ref.dtype)
+    _accumulate_and_emit(f, part, acc_ref, o_ref, ds_ref)
 
 
 def ffn_q4_layered(x: jax.Array, gate_q: jax.Array, gate_s: jax.Array,

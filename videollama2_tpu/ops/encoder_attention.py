@@ -80,23 +80,125 @@ def _kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
         o_ref[0, h] = (o / l).astype(o_ref.dtype)
 
 
+def _kernel_packed(valid_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """Two hd=64 heads per cell, packed into one 128-lane MXU pass each way.
+
+    q_ref/o_ref: [1, 1, S, 2D] (pair's head dims concatenated on lanes);
+    k_ref: [1, 1, 2, D, S] pre-transposed; v_ref: [1, 1, 2, S, D].
+
+    The un-packed kernel's dots run ~20 TF/s because hd=64 half-fills the
+    MXU contraction (QK) / output lanes (PV) AND each cell issues 2*hp tiny
+    dots whose fixed cost rivals their FLOPs (docs/DESIGN.md ABLATE table).
+    Packing a head PAIR block-diagonally trades 2x dot FLOPs for full
+    128-lane utilization and exactly TWO large dots per cell:
+
+        [S, 2D] @ [[k0  0 ]     -> scores for both heads side by side
+                   [ 0  k1]]       ([S, 2S]; zero blocks kill cross terms)
+        [p0 | p1] @ [[v0  0 ]   -> both heads' outputs on 128 lanes
+                    [ 0  v1]]      ([S, 2D])
+
+    Softmax stays per-head on clean 128-multiple lane slices of the packed
+    score matrix. The l-normalization folds into one lane-concatenated
+    multiply so the packed output is stored whole (no [S, 64] sub-tile
+    stores).
+    """
+    S = q_ref.shape[2]
+    D = q_ref.shape[3] // 2
+    valid = valid_ref[pl.program_id(0)]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    bias = jnp.where(col < valid, 0.0, NEG)              # [1, S] once/cell
+
+    k0 = k_ref[0, 0, 0]                                  # [D, S]
+    k1 = k_ref[0, 0, 1]
+    zk = jnp.zeros((D, S), k0.dtype)
+    kbd = jnp.concatenate([
+        jnp.concatenate([k0, zk], axis=1),
+        jnp.concatenate([zk, k1], axis=1)], axis=0)      # [2D, 2S]
+    s_all = jax.lax.dot_general(
+        q_ref[0, 0], kbd, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [S, 2S]
+
+    ps, ls = [], []
+    for h in range(2):
+        s = s_all[:, h * S:(h + 1) * S] * scale + bias
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        ls.append(jnp.sum(p, axis=1, keepdims=True))     # [S, 1]
+        ps.append(p)
+    p_all = jnp.concatenate(ps, axis=1).astype(v_ref.dtype)  # [S, 2S]
+
+    v0 = v_ref[0, 0, 0]                                  # [S, D]
+    v1 = v_ref[0, 0, 1]
+    zv = jnp.zeros((S, D), v0.dtype)
+    vbd = jnp.concatenate([
+        jnp.concatenate([v0, zv], axis=1),
+        jnp.concatenate([zv, v1], axis=1)], axis=0)      # [2S, 2D]
+    o = jax.lax.dot_general(
+        p_all, vbd, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [S, 2D]
+    linv = jnp.concatenate(
+        [jnp.broadcast_to(1.0 / l, (S, D)) for l in ls], axis=1)
+    o_ref[0, 0] = (o * linv).astype(o_ref.dtype)
+
+
+def _encoder_attention_packed(qt, kt, vt, valid_len, scale, interpret):
+    """qt/vt: [B, H, S, D]; kt: [B, H, D, S]. Returns [B, H, S, D]."""
+    B, H, S, D = qt.shape
+    Hp = H // 2
+    # pair layout: q as [B, Hp, S, 2D] (lane-concat), k/v split per head
+    qp = qt.reshape(B, Hp, 2, S, D).transpose(0, 1, 3, 2, 4) \
+           .reshape(B, Hp, S, 2 * D)
+    kp = kt.reshape(B, Hp, 2, D, S)
+    vp = vt.reshape(B, Hp, 2, S, D)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hp),
+        in_specs=[
+            pl.BlockSpec((1, 1, S, 2 * D), lambda b, h, _: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 2, D, S), lambda b, h, _: (b, h, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 2, S, D), lambda b, h, _: (b, h, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, S, 2 * D),
+                               lambda b, h, _: (b, h, 0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_packed, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hp, S, 2 * D), qt.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(8 * B * H * S * S * D),  # 2x packed
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=B * H * S * S),
+        interpret=interpret,
+    )(valid_len.astype(jnp.int32), qp, kp, vp)
+    return out.reshape(B, Hp, S, 2, D).transpose(0, 1, 3, 2, 4) \
+              .reshape(B, H, S, D)
+
+
 def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                       valid_len: Optional[jax.Array] = None,
                       scale: Optional[float] = None,
                       heads_per_cell: int = 4,
                       interpret: Optional[bool] = None,
-                      ablate: str = "") -> jax.Array:
+                      ablate: str = "",
+                      pack_pairs: Optional[bool] = None) -> jax.Array:
     """Non-causal attention, q/k/v: [B, S, H, D] with S % 128 == 0.
 
     valid_len: [B] number of real (non-pad) keys per batch row, or None.
     Returns [B, S, H, D]; rows past valid_len compute garbage (callers
     slice them off, models/vit._pad_tokens).
+
+    pack_pairs: use the block-diagonal head-pair kernel (full 128-lane MXU
+    passes; default auto = on for hd 64 towers like CLIP-L, off for
+    SigLIP's hd 72 whose lanes don't tile).
     """
     B, S, H, D = q.shape
     if scale is None:
         scale = D ** -0.5
     if interpret is None:  # CPU tests exercise the kernel via interpreter
         interpret = jax.devices()[0].platform != "tpu"
+    if pack_pairs is None:
+        pack_pairs = D == 64 and H % 2 == 0 and not ablate
     hp = heads_per_cell
     while H % hp:
         hp //= 2
@@ -106,6 +208,11 @@ def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     qt = q.transpose(0, 2, 1, 3)                          # [B, H, S, D]
     kt = k.transpose(0, 2, 3, 1)                          # [B, H, D, S]
     vt = v.transpose(0, 2, 1, 3)
+
+    if pack_pairs:
+        out = _encoder_attention_packed(qt, kt, vt, valid_len, scale,
+                                        interpret)
+        return out.transpose(0, 2, 1, 3)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # valid_len [B] lands in SMEM pre-kernel
