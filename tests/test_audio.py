@@ -103,3 +103,66 @@ def test_av_model_end_to_end():
                         gen=GenerationConfig(max_new_tokens=4),
                         eos_token_id=-1)
     assert len(out2[0]) == 4
+
+
+def test_load_audio_from_video_container(tmp_path):
+    """media.audio.load_audio pulls the track out of a video container via
+    the C++ decoder (the VideoLLaMA2.1-AV ingestion, README.md:130-132)."""
+    from avi_writer import write_avi
+
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 255, (6, 32, 32, 3), dtype=np.uint8)
+    # broadband noise: every mel bin carries energy, so the log-mel compare
+    # below isn't dominated by s16 quantization of near-silent bins
+    wav = (0.3 * rng.standard_normal(24000)).clip(-1, 1).astype(np.float32)
+    path = str(tmp_path / "clip.avi")
+    write_avi(path, frames, wav, fps=3, sample_rate=16000)
+
+    out = audio_lib.load_audio(path)
+    assert out.shape == wav.shape
+    np.testing.assert_allclose(out, wav, atol=2e-4)  # s16 quantization
+
+    # fbank over container audio == fbank over the raw waveform
+    np.testing.assert_allclose(audio_lib.beats_preprocess(out),
+                               audio_lib.beats_preprocess(wav),
+                               atol=2e-2)
+
+
+def test_mm_infer_av_from_container(tmp_path):
+    """Public-API AV drive: mm_infer(modal='av') on a video file consumes
+    the file's own audio track (VERDICT r3 #4 done-criterion)."""
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(
+        _os.path.dirname(_os.path.abspath(__file__))), "scripts"))
+    from avi_writer import write_avi
+    from make_tiny_checkpoint import build_tokenizer
+    from transformers import AutoTokenizer
+    from videollama2_tpu.inference.api import VideoLLaMA2, mm_infer
+    from videollama2_tpu.inference.engine import Engine
+    from videollama2_tpu.models import videollama2 as vl2
+
+    cfg = cfglib.tiny_model()
+    audio_cfg = AudioConfig(embed_dim=24, encoder_dim=32, num_layers=2,
+                            num_heads=4, intermediate_size=64, conv_pos=8,
+                            conv_pos_groups=4, max_frames=64)
+    cfg = cfg.replace(audio=audio_cfg)
+    params = vl2.init_params(jax.random.PRNGKey(0), cfg)
+    eng = Engine(cfg, params, dtype=jnp.float32, max_len=256, buckets=(192,),
+                 attn_impl="xla", decode_chunk=4)
+    model = VideoLLaMA2(config=cfg, engine=eng)
+
+    tok_dir = str(tmp_path / "tok")
+    build_tokenizer(tok_dir, cfg.llm.vocab_size)
+    tokenizer = AutoTokenizer.from_pretrained(tok_dir, use_fast=True)
+
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 255, (8, 48, 48, 3), dtype=np.uint8)
+    t = np.arange(16000) / 16000.0
+    wav = (0.3 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    avi = str(tmp_path / "clip.avi")
+    write_avi(avi, frames, wav, fps=4, sample_rate=16000)
+
+    out = mm_infer(avi, "What happens ?", model, tokenizer, modal="av",
+                   max_new_tokens=4)
+    assert isinstance(out, str)

@@ -95,6 +95,8 @@ def model_init(model_path: Optional[str] = None, dtype=None,
     }
     if cfg.audio is not None:
         processor["audio"] = functools.partial(_prep_audio, cfg=cfg)
+        processor["av"] = functools.partial(_prep_av, cfg=cfg,
+                                            num_frames=num_frames)
     return model, processor, tokenizer
 
 
@@ -112,6 +114,10 @@ def build_prompt_ids(instruct, cfg, tokenizer, modal: str = "video"):
         modal_token = DEFAULT_VIDEO_TOKEN
     elif modal == "audio":
         modal_token = DEFAULT_AUDIO_TOKEN
+    elif modal == "av":
+        # joint AV: the video tag and the audio tag of the SAME clip
+        # (VideoLLaMA2.1-AV, reference README.md:130-132)
+        modal_token = DEFAULT_VIDEO_TOKEN + DEFAULT_AUDIO_TOKEN
     elif modal == "text":
         modal_token = ""
     else:
@@ -131,6 +137,10 @@ def build_prompt_ids(instruct, cfg, tokenizer, modal: str = "video"):
 
     prompt = tokenizer.apply_chat_template(message, tokenize=False,
                                            add_generation_prompt=True)
+    if modal == "av":
+        from ..multimodal.tokenizer import tokenizer_multimodal_tokens
+        return tokenizer_multimodal_tokens(
+            prompt, tokenizer, (DEFAULT_VIDEO_TOKEN, DEFAULT_AUDIO_TOKEN))
     return tokenizer_multimodal_token(prompt, tokenizer, modal_token)
 
 
@@ -146,6 +156,19 @@ def mm_infer(image_or_video, instruct, model: VideoLLaMA2, tokenizer,
     audio = None
     if modal == "audio":
         audio = _prep_audio(image_or_video, cfg)
+    elif modal == "av":
+        media = image_or_video
+        if isinstance(media, str):
+            # one video file: frames from the video stream, BEATs features
+            # from the SAME file's audio track (reference README.md:130-132)
+            arr = process_video(media, cfg=cfg.vision, aspect_ratio=None,
+                                num_frames=cfg.num_frames or NUM_FRAMES,
+                                out_dtype="uint8")
+            audio = _prep_audio(media, cfg)
+        else:  # {"video": frames, "audio": path-or-feats} (processor["av"])
+            arr = np.asarray(media["video"])
+            audio = _prep_audio(media["audio"], cfg)
+        frames = np.asarray(arr)[None]
     elif modal not in ("text",):
         arr = np.asarray(image_or_video)
         if arr.dtype != np.uint8:  # uint8 rides through; normalize on device
@@ -229,12 +252,25 @@ def mm_infer_batch(image_or_video, instructs, model: VideoLLaMA2, tokenizer,
             for o in outs]
 
 
+def _prep_av(video_path: str, cfg, num_frames: int) -> dict:
+    """One video file -> {"video": [T,H,W,3] uint8, "audio": [1,T_a,128]}.
+
+    The AV model consumes the clip's own audio track (reference
+    README.md:130-132); feed the result to mm_infer(..., modal="av")."""
+    return {"video": process_video(video_path, cfg=cfg.vision,
+                                   aspect_ratio=None, num_frames=num_frames,
+                                   out_dtype="uint8"),
+            "audio": _prep_audio(video_path, cfg)}
+
+
 def _prep_audio(audio_input, cfg) -> "np.ndarray":
     """Load/normalize audio to [1, audio.max_frames, 128] fbank features."""
     from ..media import audio as audio_lib
     assert cfg.audio is not None, "model has no audio branch"
     if isinstance(audio_input, str):
-        wav = audio_lib.load_wav(audio_input)
+        # .wav or any video container: the AV model consumes the video
+        # file's own audio track (reference README.md:130-132)
+        wav = audio_lib.load_audio(audio_input)
         feats = audio_lib.beats_preprocess(wav)
     else:
         arr = np.asarray(audio_input, dtype=np.float32)
@@ -311,6 +347,18 @@ class ChatSession:
             audio = None
             if self.modal == "audio":
                 audio = _prep_audio(self.media, cfg)
+            elif self.modal == "av":
+                media = self.media
+                if isinstance(media, str):
+                    arr = process_video(
+                        media, cfg=cfg.vision, aspect_ratio=None,
+                        num_frames=cfg.num_frames or NUM_FRAMES,
+                        out_dtype="uint8")
+                    audio = _prep_audio(media, cfg)
+                else:
+                    arr = np.asarray(media["video"])
+                    audio = _prep_audio(media["audio"], cfg)
+                frames = np.asarray(arr)[None]
             elif self.modal != "text":
                 arr = np.asarray(self.media)
                 if arr.dtype != np.uint8:

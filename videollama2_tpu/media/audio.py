@@ -116,6 +116,20 @@ def beats_preprocess(waveform: np.ndarray,
     return (fb - FBANK_MEAN) / (2 * FBANK_STD)
 
 
+def load_audio(path: str) -> np.ndarray:
+    """Load audio from a .wav OR from a video container's own audio track.
+
+    The real VideoLLaMA2.1-AV workload feeds BEATs from the audio stream of
+    the input video file (reference README.md:130-132). Non-wav paths route
+    through the C++ libavcodec decoder (media/video_reader.decode_audio,
+    16 kHz mono f32); .wav keeps the dependency-free stdlib reader.
+    """
+    if path.lower().endswith(".wav"):
+        return load_wav(path)
+    from . import video_reader
+    return video_reader.decode_audio(path, SAMPLE_RATE)
+
+
 def load_wav(path: str):
     """Minimal WAV reader (stdlib); resampling to 16 kHz by linear interp."""
     import wave

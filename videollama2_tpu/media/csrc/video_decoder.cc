@@ -19,6 +19,7 @@ extern "C" {
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
 #include <libavutil/imgutils.h>
+#include <libswresample/swresample.h>
 #include <libswscale/swscale.h>
 }
 
@@ -236,6 +237,111 @@ int vd_get_batch(VDContext* c, const long* indices, int n, uint8_t* out) {
     ++written;
   }
   return written;
+}
+
+// ---------------------------------------------------------------------------
+// Audio-track decode: the VideoLLaMA2.1-AV workload consumes the audio
+// stream of the video file itself (reference README.md:130-132; the AV
+// branch decodes audio from the same mp4). Decode the container's best
+// audio stream and resample to `target_rate` Hz mono float32 via
+// libswresample — the BEATs frontend's expected input (media/audio.py).
+//
+// One-shot API: the full track is decoded into a malloc'd buffer (minutes
+// of 16 kHz f32 are a few MB; eval clips are short). Caller frees with
+// ad_free. Returns the sample count, or -1 when the container has no
+// audio stream / cannot be decoded.
+// ---------------------------------------------------------------------------
+
+long ad_decode(const char* path, int target_rate, float** out) {
+  *out = nullptr;
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* cc = nullptr;
+  SwrContext* swr = nullptr;
+  AVPacket* pkt = nullptr;
+  AVFrame* frame = nullptr;
+  long result = -1;
+  std::vector<float> buf;
+  std::vector<float> tmp;
+
+  do {
+    if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) break;
+    if (avformat_find_stream_info(fmt, nullptr) < 0) break;
+    int si = av_find_best_stream(fmt, AVMEDIA_TYPE_AUDIO, -1, -1, nullptr, 0);
+    if (si < 0) break;
+    AVStream* st = fmt->streams[si];
+    const AVCodec* dec = avcodec_find_decoder(st->codecpar->codec_id);
+    if (!dec) break;
+    cc = avcodec_alloc_context3(dec);
+    if (!cc || avcodec_parameters_to_context(cc, st->codecpar) < 0) break;
+    if (avcodec_open2(cc, dec, nullptr) < 0) break;
+    if (cc->sample_rate <= 0) break;
+    if (cc->ch_layout.nb_channels == 0)
+      av_channel_layout_default(&cc->ch_layout, 1);
+    AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
+    if (swr_alloc_set_opts2(&swr, &mono, AV_SAMPLE_FMT_FLT, target_rate,
+                            &cc->ch_layout, cc->sample_fmt, cc->sample_rate,
+                            0, nullptr) < 0 ||
+        swr_init(swr) < 0)
+      break;
+    pkt = av_packet_alloc();
+    frame = av_frame_alloc();
+    if (!pkt || !frame) break;
+
+    auto drain = [&](const AVFrame* f) {
+      int in_n = f ? f->nb_samples : 0;
+      int max_out = swr_get_out_samples(swr, in_n);
+      if (max_out <= 0) return;
+      tmp.resize((size_t)max_out);
+      uint8_t* outp[1] = {reinterpret_cast<uint8_t*>(tmp.data())};
+      int n = swr_convert(swr, outp, max_out,
+                          f ? const_cast<const uint8_t**>(f->extended_data)
+                            : nullptr,
+                          in_n);
+      if (n > 0) buf.insert(buf.end(), tmp.begin(), tmp.begin() + n);
+    };
+
+    while (av_read_frame(fmt, pkt) >= 0) {
+      if (pkt->stream_index == si && avcodec_send_packet(cc, pkt) == 0) {
+        while (avcodec_receive_frame(cc, frame) == 0) drain(frame);
+      }
+      av_packet_unref(pkt);
+    }
+    avcodec_send_packet(cc, nullptr);  // flush the decoder
+    while (avcodec_receive_frame(cc, frame) == 0) drain(frame);
+    drain(nullptr);                    // flush the resampler tail
+
+    result = (long)buf.size();
+    if (result > 0) {
+      *out = (float*)malloc((size_t)result * sizeof(float));
+      if (!*out) {
+        result = -1;
+        break;
+      }
+      std::memcpy(*out, buf.data(), (size_t)result * sizeof(float));
+    }
+  } while (false);
+
+  if (frame) av_frame_free(&frame);
+  if (pkt) av_packet_free(&pkt);
+  if (swr) swr_free(&swr);
+  if (cc) avcodec_free_context(&cc);
+  if (fmt) avformat_close_input(&fmt);
+  return result;
+}
+
+void ad_free(float* p) { free(p); }
+
+// Returns 1 when the container has a decodable audio stream, 0 otherwise.
+int ad_has_audio(const char* path) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return 0;
+  int has = 0;
+  if (avformat_find_stream_info(fmt, nullptr) >= 0) {
+    has = av_find_best_stream(fmt, AVMEDIA_TYPE_AUDIO, -1, -1, nullptr, 0)
+          >= 0;
+  }
+  avformat_close_input(&fmt);
+  return has;
 }
 
 }  // extern "C"

@@ -56,6 +56,13 @@ def _load_lib():
         lib.vd_get_batch.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_long), ctypes.c_int,
             ctypes.POINTER(ctypes.c_ubyte)]
+        lib.ad_decode.restype = ctypes.c_long
+        lib.ad_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float))]
+        lib.ad_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+        lib.ad_has_audio.restype = ctypes.c_int
+        lib.ad_has_audio.argtypes = [ctypes.c_char_p]
         _lib = lib
         return _lib
 
@@ -109,6 +116,36 @@ class VideoReader:
             self.close()
         except Exception:
             pass
+
+
+def decode_audio(path: str, sample_rate: int = 16000) -> np.ndarray:
+    """Decode a container's audio track -> [n] float32 mono at sample_rate.
+
+    The VideoLLaMA2.1-AV workload consumes the audio stream of the video
+    file itself (reference README.md:130-132): libavcodec decode +
+    libswresample to mono float at the BEATs rate, in the C++ library
+    (media/csrc/video_decoder.cc ad_decode). Raises IOError when the
+    container has no decodable audio stream.
+    """
+    lib = _load_lib()
+    if lib is None:
+        raise RuntimeError("libvideodec.so unavailable")
+    buf = ctypes.POINTER(ctypes.c_float)()
+    n = lib.ad_decode(path.encode(), int(sample_rate), ctypes.byref(buf))
+    if n < 0 or not buf:
+        raise IOError(f"no decodable audio track in {path}")
+    try:
+        return np.ctypeslib.as_array(buf, shape=(n,)).copy()
+    finally:
+        lib.ad_free(buf)
+
+
+def has_audio(path: str) -> bool:
+    """True when the container carries a decodable audio stream."""
+    lib = _load_lib()
+    if lib is None or not os.path.isfile(path):
+        return False
+    return bool(lib.ad_has_audio(path.encode()))
 
 
 def _read_gif(path: str) -> List[np.ndarray]:

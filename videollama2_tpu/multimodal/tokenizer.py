@@ -40,6 +40,27 @@ def tokenizer_multimodal_token(prompt: str, tokenizer,
     return input_ids
 
 
+def tokenizer_multimodal_tokens(prompt: str, tokenizer,
+                                multimodal_tokens) -> List[int]:
+    """Multi-tag variant for joint AV prompts: each tag in
+    `multimodal_tokens` becomes its negative id, in prompt order.
+
+    The reference's AV branch lives on the upstream `audio_visual` checkout
+    (README.md:130-132, not in this tree); this generalizes the single-tag
+    splitter above to prompts carrying both <video> and <audio> tags.
+    """
+    import re
+    pattern = "(" + "|".join(re.escape(t) for t in multimodal_tokens) + ")"
+    input_ids: List[int] = []
+    for part in re.split(pattern, prompt):
+        if part in MODAL_INDEX_MAP and part in multimodal_tokens:
+            input_ids.append(MODAL_INDEX_MAP[part])
+        elif part:
+            input_ids.extend(
+                tokenizer(part, add_special_tokens=False).input_ids)
+    return input_ids
+
+
 def get_model_name_from_path(model_path: str) -> str:
     """Parity: mm_utils.py:305-311."""
     model_path = model_path.strip("/")
