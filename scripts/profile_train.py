@@ -57,8 +57,15 @@ def main():
 
     rng = np.random.default_rng(0)
     T, H = cfg.num_frames, cfg.vision.image_size
-    params = vl2.init_params(jax.random.PRNGKey(0), cfg,
-                             dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+    # timing-equivalent constant fills materialized ON the device (values
+    # don't affect MXU/HBM timing; avoids minutes of host init + tunnel
+    # upload — same trick as bench.py)
+    abstract = jax.eval_shape(lambda: vl2.init_params(
+        jax.random.PRNGKey(0), cfg,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32))
+    params = jax.jit(lambda: jax.tree.map(
+        lambda a: jnp.full(a.shape, 0.01, a.dtype), abstract))()
+    jax.block_until_ready(params)
     # frozen tower (reference train.py:534); connector+LLM trainable
     mask = jax.tree.map(lambda _: True, params)
     mask["vision"] = jax.tree.map(lambda _: False, params["vision"])

@@ -165,3 +165,16 @@ def test_media_group_matches_replicated(tiny):
     b = eng.generate(prompts, frames=vids, gen=gen, eos_token_id=-1,
                      media_group=group)
     assert a == b
+
+
+def test_decode_program_cached(tiny):
+    """_get_decode must return the SAME jit wrapper across generate calls:
+    a fresh wrapper per call re-traces and re-stages the decode executable
+    every iteration (measured ~1.3-1.7 s per bench iteration on the 7B
+    serving config — 66 ms/tok instead of 14)."""
+    cfg, params = tiny
+    eng = Engine(cfg, params, dtype=jnp.float32, max_len=128, buckets=(64,),
+                 attn_impl="xla", decode_chunk=4)
+    a = eng._get_decode(False, 0.0, 0.9, 64)
+    assert eng._get_decode(False, 0.0, 0.9, 64) is a
+    assert eng._get_decode(False, 0.0, 0.9, 32) is not a

@@ -189,8 +189,11 @@ def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     slice them off, models/vit._pad_tokens).
 
     pack_pairs: use the block-diagonal head-pair kernel (full 128-lane MXU
-    passes; default auto = on for hd 64 towers like CLIP-L, off for
-    SigLIP's hd 72 whose lanes don't tile).
+    passes). MEASURED SLOWER on v5e than the multi-head-cell kernel
+    (10.14 vs 8.81 ms at CLIP-L/128f, scripts/profile_vit_attn.py): the 2x
+    padded-dot FLOPs outweigh the lane-fill gain, so the per-cell dots are
+    not the bottleneck (per-cell overhead already amortized by hp=4).
+    Default off; kept selectable for future Mosaic generations.
     """
     B, S, H, D = q.shape
     if scale is None:
@@ -198,7 +201,7 @@ def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     if interpret is None:  # CPU tests exercise the kernel via interpreter
         interpret = jax.devices()[0].platform != "tpu"
     if pack_pairs is None:
-        pack_pairs = D == 64 and H % 2 == 0 and not ablate
+        pack_pairs = False
     hp = heads_per_cell
     while H % hp:
         hp //= 2
