@@ -53,7 +53,7 @@ def main():
                 vocab_size=32000),
             connector=dataclasses.replace(cfg.connector, hidden_size=1536),
             num_frames=8)
-        B, S = 2, 1024
+        B, S = int(os.environ.get("TRAIN_B", "2")), 1024
 
     rng = np.random.default_rng(0)
     T, H = cfg.num_frames, cfg.vision.image_size
@@ -71,7 +71,10 @@ def main():
     mask["vision"] = jax.tree.map(lambda _: False, params["vision"])
     tx = optax.adamw(1e-5)
     state = step_lib.init_state(params, tx)
-    train_step = step_lib.make_train_step(cfg, tx, trainable=mask)
+    remat = {"full": True, "dots": "dots", "none": False}[
+        os.environ.get("TRAIN_REMAT", "full")]
+    train_step = step_lib.make_train_step(cfg, tx, trainable=mask,
+                                          remat=remat)
 
     from videollama2_tpu.constants import IGNORE_INDEX, VIDEO_TOKEN_INDEX
     from videollama2_tpu.train import data as data_lib

@@ -300,7 +300,13 @@ def forward(params: dict, cfg: LLMConfig, embeds: jax.Array,
                          attn_impl=attn_impl)
         return sh.sp_shard_seq(out), kv
 
-    if remat:
+    if remat == "dots":
+        # save matmul outputs, recompute elementwise only: ~25% faster
+        # steps than full remat when activations fit (scripts/profile_train)
+        body = jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    elif remat:
         body = jax.checkpoint(body)
     x, kvs = jax.lax.scan(body, embeds, params["layers"])
     x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)

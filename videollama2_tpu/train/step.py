@@ -35,7 +35,7 @@ def init_state(params, tx) -> TrainState:
 
 
 def _loss_fn(params, cfg: ModelConfig, batch: Batch, compute_dtype,
-             attn_impl: str, constrain_fn=None):
+             attn_impl: str, constrain_fn=None, remat=True):
     frames = batch.frames
     if jnp.issubdtype(frames.dtype, jnp.floating):
         frames = frames.astype(compute_dtype)
@@ -43,14 +43,14 @@ def _loss_fn(params, cfg: ModelConfig, batch: Batch, compute_dtype,
     loss, metrics = vl2.forward_train(
         params, cfg, frames, batch.text_ids, batch.is_visual,
         batch.vis_index, batch.positions, batch.valid_len, batch.labels,
-        attn_impl=attn_impl, remat=True, constrain_fn=constrain_fn)
+        attn_impl=attn_impl, remat=remat, constrain_fn=constrain_fn)
     return loss, metrics
 
 
 def make_train_step(cfg: ModelConfig, tx, mesh: Optional[Mesh] = None,
                     compute_dtype=jnp.bfloat16, attn_impl: str = "auto",
                     grad_accum: int = 1, trainable: Any = None,
-                    sequence_parallel: bool = False):
+                    sequence_parallel: bool = False, remat=True):
     """Build the jitted train step.
 
     Batch arrays arrive as [grad_accum * microbatch, ...]; when grad_accum>1
@@ -72,7 +72,8 @@ def make_train_step(cfg: ModelConfig, tx, mesh: Optional[Mesh] = None,
     def _grads(params, b):
         if trainable is None:
             return jax.value_and_grad(_loss_fn, has_aux=True)(
-                params, cfg, b, compute_dtype, attn_impl, constrain_fn)
+                params, cfg, b, compute_dtype, attn_impl, constrain_fn,
+                remat)
         leaves, treedef = jax.tree.flatten(params)
         flags = jax.tree.leaves(trainable)
         t_leaves = [l for l, f in zip(leaves, flags) if f]
@@ -81,7 +82,7 @@ def make_train_step(cfg: ModelConfig, tx, mesh: Optional[Mesh] = None,
             it = iter(t_leaves)
             full = [next(it) if f else l for l, f in zip(leaves, flags)]
             return _loss_fn(jax.tree.unflatten(treedef, full), cfg, b,
-                            compute_dtype, attn_impl, constrain_fn)
+                            compute_dtype, attn_impl, constrain_fn, remat)
 
         (loss, metrics), t_grads = jax.value_and_grad(
             loss_of, has_aux=True)(t_leaves)
