@@ -71,6 +71,9 @@ def main():
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"],
                     help="cpu (default, tiny checkpoints) or tpu (the "
                          "preloaded axon backend)")
+    ap.add_argument("--modes", default="serial,dynamic",
+                    help="comma list of serial,dynamic — run one at a time "
+                         "when the model load dominates the time budget")
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -79,8 +82,9 @@ def main():
 
     from videollama2_tpu.serve import model_worker as worker_mod
 
+    modes = [m.strip() for m in args.modes.split(",") if m.strip()]
     results = {}
-    for dynamic in (False, True):
+    for dynamic in [m == "dynamic" for m in modes]:
         worker = worker_mod.ModelWorker(
             "http://localhost:0", "http://localhost:0", args.model_path,
             model_name="bench", register=False, dynamic_batch=dynamic)
@@ -88,7 +92,11 @@ def main():
                                   worker_mod.make_handler(worker))
         port = srv.server_address[1]
         threading.Thread(target=srv.serve_forever, daemon=True).start()
-        run_one(port, "warmup ?", args.max_new_tokens)  # compile
+        run_one(port, "warmup ?", args.max_new_tokens)  # compile B=1
+        # burst warmup: the dynamic batcher compiles per GROUP size, so a
+        # measured run must not pay the batch-8 compile inside the clock
+        bench(worker, port, args.concurrency, args.concurrency,
+              args.max_new_tokens)
         results["dynamic" if dynamic else "serial"] = bench(
             worker, port, args.requests, args.concurrency,
             args.max_new_tokens)
@@ -96,13 +104,16 @@ def main():
         print(f"[{'dynamic' if dynamic else 'serial '}] "
               f"{results['dynamic' if dynamic else 'serial']}",
               file=sys.stderr, flush=True)
-    s, d = results["serial"], results["dynamic"]
-    print(json.dumps({"metric": "serving req/s (dynamic vs serial)",
-                      "serial_req_per_s": s["req_per_s"],
-                      "dynamic_req_per_s": d["req_per_s"],
-                      "speedup": round(d["req_per_s"]
-                                       / max(s["req_per_s"], 1e-9), 2),
-                      "detail": results}))
+    if "serial" in results and "dynamic" in results:
+        s, d = results["serial"], results["dynamic"]
+        print(json.dumps({"metric": "serving req/s (dynamic vs serial)",
+                          "serial_req_per_s": s["req_per_s"],
+                          "dynamic_req_per_s": d["req_per_s"],
+                          "speedup": round(d["req_per_s"]
+                                           / max(s["req_per_s"], 1e-9), 2),
+                          "detail": results}))
+    else:
+        print(json.dumps({"metric": "serving req/s", "detail": results}))
 
 
 if __name__ == "__main__":

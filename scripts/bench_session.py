@@ -46,10 +46,16 @@ def main():
         cfg = cfglib.preset("videollama2_mistral")
         cfg = dataclasses.replace(cfg, num_frames=16)
         dtype = jnp.bfloat16
-    params = vl2.init_params(jax.random.PRNGKey(0), cfg,
-                             dtype=jnp.bfloat16 if on_tpu else jnp.float32)
     if size != "tiny":
-        params = dict(params, llm=quant.quantize_llm_params(params["llm"]))
+        # int8 packs built directly + filled on-device: a bf16 7B tree
+        # plus its packs would OOM the 16 GB chip (utils/synthetic.py)
+        from videollama2_tpu.utils import synthetic
+        params = synthetic.synthetic_model_params(
+            cfg, dtype=jnp.bfloat16, quantize_llm=True)
+    else:
+        params = vl2.init_params(jax.random.PRNGKey(0), cfg,
+                                 dtype=jnp.bfloat16 if on_tpu
+                                 else jnp.float32)
 
     rng = np.random.default_rng(0)
     T, H = cfg.num_frames, cfg.vision.image_size

@@ -58,10 +58,16 @@ def main():
         dtype = jnp.bfloat16
         quantize = True
     print(f"[spec-bench] init {size} params...", file=sys.stderr, flush=True)
-    params = vl2.init_params(jax.random.PRNGKey(0), cfg,
-                             dtype=jnp.bfloat16 if on_tpu else jnp.float32)
     if quantize:
-        params = dict(params, llm=quant.quantize_llm_params(params["llm"]))
+        # int8 packs built directly + filled on-device: a bf16 7B tree
+        # plus its packs would OOM the 16 GB chip (utils/synthetic.py)
+        from videollama2_tpu.utils import synthetic
+        params = synthetic.synthetic_model_params(
+            cfg, dtype=jnp.bfloat16, quantize_llm=True)
+    else:
+        params = vl2.init_params(jax.random.PRNGKey(0), cfg,
+                                 dtype=jnp.bfloat16 if on_tpu
+                                 else jnp.float32)
 
     # prompt: text-only, mildly repetitive (what extractive answers echo)
     base = [3, 11, 12, 13, 5, 11, 12, 13, 9]

@@ -50,7 +50,11 @@ def build_tokenizer(save_dir: str, vocab_size: int):
     fast.save_pretrained(save_dir)
 
 
-def build_checkpoint(save_dir: str):
+def build_checkpoint(save_dir: str, size: str = "tiny"):
+    """size='tiny' (unit tests) or '1b' (~1.1B LLM + tiny tower — big
+    enough that TPU serving benchmarks measure real decode bandwidth,
+    small enough to build on one host core in ~a minute)."""
+    import dataclasses
     import torch
     import transformers
     from safetensors.numpy import save_file
@@ -62,6 +66,11 @@ def build_checkpoint(save_dir: str):
     from videollama2_tpu.core import config as cfglib
 
     cfg = cfglib.tiny_model("videollama2_mistral", "stc_connector_v35")
+    if size == "1b":
+        cfg = dataclasses.replace(cfg, llm=dataclasses.replace(
+            cfg.llm, hidden_size=2048, intermediate_size=5632,
+            num_layers=22, num_heads=16, num_kv_heads=4, head_dim=128,
+            vocab_size=32000))
     os.makedirs(save_dir, exist_ok=True)
     torch.manual_seed(0)
 
@@ -125,5 +134,6 @@ def build_checkpoint(save_dir: str):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/tiny_vllama2_ckpt")
+    ap.add_argument("--size", default="tiny", choices=["tiny", "1b"])
     args = ap.parse_args()
-    print(build_checkpoint(args.out))
+    print(build_checkpoint(args.out, size=args.size))
