@@ -60,7 +60,7 @@ class DynamicBatcher:
     """Collects concurrent generate requests into batched engine calls."""
 
     def __init__(self, model, tokenizer, max_batch: int = 8,
-                 window_ms: float = 30.0):
+                 window_ms: float = 30.0, inflight: int = 2):
         self.model = model
         self.tokenizer = tokenizer
         self.max_batch = max_batch
@@ -68,8 +68,16 @@ class DynamicBatcher:
         self._pending: list[_Request] = []
         self._cv = threading.Condition()
         self._stats = {"batches": 0, "requests": 0, "max_group": 0}
-        self._thread = threading.Thread(target=self._loop, daemon=True)
-        self._thread.start()
+        # `inflight` collector threads: with one, group N+1's host prep and
+        # prefill dispatch wait for group N's full generate, leaving the
+        # device idle between groups — the un-batched worker's 5 concurrent
+        # generates pipeline through the device queue and win at small
+        # model scales (BASELINE.md serving row). Two in-flight groups
+        # restore that pipelining while keeping the batched decode.
+        self._threads = [threading.Thread(target=self._loop, daemon=True)
+                         for _ in range(max(1, inflight))]
+        for t in self._threads:
+            t.start()
 
     # -- client side -------------------------------------------------------
 
@@ -138,8 +146,10 @@ class DynamicBatcher:
         cfg = self.model.config
         engine = self.model.engine
         kind = group[0].group_key[0]
-        self._stats["batches"] += 1
-        self._stats["max_group"] = max(self._stats["max_group"], len(group))
+        with self._cv:  # multiple collector threads share the counters
+            self._stats["batches"] += 1
+            self._stats["max_group"] = max(self._stats["max_group"],
+                                           len(group))
 
         # pad the batch up to the next tier with text-only dummies (no
         # media -> no extra encode; their decode rows are masked by eos)
