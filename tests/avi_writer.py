@@ -25,19 +25,22 @@ def _list(fourcc: bytes, payload: bytes) -> bytes:
     return _chunk(b"LIST", fourcc + payload)
 
 
-def write_avi(path: str, frames: np.ndarray, audio: np.ndarray,
+def write_avi(path: str, frames: np.ndarray, audio=None,
               fps: int = 5, sample_rate: int = 16000) -> None:
-    """frames: [N, H, W, 3] uint8 RGB; audio: [S] float in [-1, 1]."""
+    """frames: [N, H, W, 3] uint8 RGB; audio: [S] float in [-1, 1] or None
+    for a video-only container (exercises the no-audio-track paths)."""
     frames = np.asarray(frames, np.uint8)
     n, h, w, _ = frames.shape
-    pcm = (np.clip(np.asarray(audio, np.float64), -1, 1)
-           * 32767).astype("<i2").tobytes()
+    pcm = (b"" if audio is None else
+           (np.clip(np.asarray(audio, np.float64), -1, 1)
+            * 32767).astype("<i2").tobytes())
     row_bytes = (w * 3 + 3) & ~3
     frame_bytes = row_bytes * h
+    n_streams = 2 if audio is not None else 1
 
     avih = _chunk(b"avih", struct.pack(
         "<14I", 1_000_000 // fps, frame_bytes * fps, 0, 0x10,  # HASINDEX
-        n, 0, 2, frame_bytes, w, h, 0, 0, 0, 0))
+        n, 0, n_streams, frame_bytes, w, h, 0, 0, 0, 0))
 
     strh_v = _chunk(b"strh", struct.pack(
         "<4s4sIHHIIIIIIii4H", b"vids", b"DIB ", 0, 0, 0, 0,
@@ -47,21 +50,23 @@ def write_avi(path: str, frames: np.ndarray, audio: np.ndarray,
     strl_v = _list(b"strl", strh_v + strf_v)
 
     block_align = 2  # mono s16
-    strh_a = _chunk(b"strh", struct.pack(
-        "<4s4sIHHIIIIIIii4H", b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0,
-        1, sample_rate, 0, len(pcm) // block_align, len(pcm), -1,
-        block_align, 0, 0, 0, 0))
-    strf_a = _chunk(b"strf", struct.pack(
-        "<HHIIHH", 1, 1, sample_rate, sample_rate * block_align,
-        block_align, 16))
-    strl_a = _list(b"strl", strh_a + strf_a)
+    strl_a = b""
+    if audio is not None:
+        strh_a = _chunk(b"strh", struct.pack(
+            "<4s4sIHHIIIIIIii4H", b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0,
+            1, sample_rate, 0, len(pcm) // block_align, len(pcm), -1,
+            block_align, 0, 0, 0, 0))
+        strf_a = _chunk(b"strf", struct.pack(
+            "<HHIIHH", 1, 1, sample_rate, sample_rate * block_align,
+            block_align, 16))
+        strl_a = _list(b"strl", strh_a + strf_a)
 
     hdrl = _list(b"hdrl", avih + strl_v + strl_a)
 
     # movi: interleave one audio slice after each video frame
     movi_payload = b""
     index = []  # (fourcc, offset-from-movi-fourcc, size)
-    samples_per_frame = (len(pcm) // block_align + n - 1) // n
+    samples_per_frame = (len(pcm) // block_align + n - 1) // n if pcm else 0
     for i in range(n):
         # DIB frames are bottom-up BGR with 4-byte-aligned rows
         rgb = frames[i][::-1, :, ::-1]

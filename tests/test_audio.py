@@ -128,6 +128,36 @@ def test_load_audio_from_video_container(tmp_path):
                                atol=2e-2)
 
 
+def test_no_audio_track_paths(tmp_path):
+    """Video-only container: has_audio False, decode_audio raises, and the
+    AV processor degrades to silence with a warning (failure-tolerance
+    posture of the eval harness's missing-media defaults)."""
+    import pytest
+    from avi_writer import write_avi
+    from videollama2_tpu.media import video_reader as vrlib
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8)
+    path = str(tmp_path / "mute.avi")
+    write_avi(path, frames, audio=None, fps=2)
+
+    # the video stream still decodes
+    vr = vrlib.VideoReader(path)
+    assert len(vr) == 4
+    vr.close()
+
+    assert vrlib.has_audio(path) is False
+    with pytest.raises(IOError):
+        vrlib.decode_audio(path)
+
+    from videollama2_tpu.inference.api import _prep_av_audio
+    cfg = cfglib.tiny_model().replace(audio=AudioConfig(max_frames=64))
+    with pytest.warns(UserWarning, match="silence"):
+        feats = _prep_av_audio(path, cfg)
+    assert feats.shape == (1, 64, 128)
+    assert np.all(np.isfinite(feats))
+
+
 def test_mm_infer_av_from_container(tmp_path):
     """Public-API AV drive: mm_infer(modal='av') on a video file consumes
     the file's own audio track (VERDICT r3 #4 done-criterion)."""

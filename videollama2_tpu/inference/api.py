@@ -175,7 +175,7 @@ def mm_infer(image_or_video, instruct, model: VideoLLaMA2, tokenizer,
             arr = process_video(media, cfg=cfg.vision, aspect_ratio=None,
                                 num_frames=cfg.num_frames or NUM_FRAMES,
                                 out_dtype="uint8")
-            audio = _prep_audio(media, cfg)
+            audio = _prep_av_audio(media, cfg)
         else:  # {"video": frames, "audio": path-or-feats} (processor["av"])
             arr = np.asarray(media["video"])
             audio = _prep_audio(media["audio"], cfg)
@@ -267,11 +267,25 @@ def _prep_av(video_path: str, cfg, num_frames: int) -> dict:
     """One video file -> {"video": [T,H,W,3] uint8, "audio": [1,T_a,128]}.
 
     The AV model consumes the clip's own audio track (reference
-    README.md:130-132); feed the result to mm_infer(..., modal="av")."""
+    README.md:130-132); feed the result to mm_infer(..., modal="av").
+    A container with no decodable audio degrades to silence with a
+    warning (same failure-tolerance posture as the eval harness's
+    missing-media defaults) instead of failing the request."""
     return {"video": process_video(video_path, cfg=cfg.vision,
                                    aspect_ratio=None, num_frames=num_frames,
                                    out_dtype="uint8"),
-            "audio": _prep_audio(video_path, cfg)}
+            "audio": _prep_av_audio(video_path, cfg)}
+
+
+def _prep_av_audio(video_path: str, cfg) -> "np.ndarray":
+    try:
+        return _prep_audio(video_path, cfg)
+    except (IOError, OSError):
+        import warnings
+        warnings.warn(f"no decodable audio track in {video_path}; "
+                      "AV request proceeds with silence", stacklevel=2)
+        assert cfg.audio is not None
+        return np.zeros((1, cfg.audio.max_frames, 128), np.float32)
 
 
 def _prep_audio(audio_input, cfg) -> "np.ndarray":
@@ -365,7 +379,7 @@ class ChatSession:
                         media, cfg=cfg.vision, aspect_ratio=None,
                         num_frames=cfg.num_frames or NUM_FRAMES,
                         out_dtype="uint8")
-                    audio = _prep_audio(media, cfg)
+                    audio = _prep_av_audio(media, cfg)
                 else:
                     arr = np.asarray(media["video"])
                     audio = _prep_audio(media["audio"], cfg)
