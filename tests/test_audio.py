@@ -158,6 +158,56 @@ def test_no_audio_track_paths(tmp_path):
     assert np.all(np.isfinite(feats))
 
 
+def test_mm_infer_session_av(tmp_path):
+    """Prefix-cached AV serving path: mm_infer_session(modal='av') on a
+    container path — turn 2 continues the stored session and matches the
+    stateless answer."""
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(
+        _os.path.dirname(_os.path.abspath(__file__))), "scripts"))
+    from avi_writer import write_avi
+    from make_tiny_checkpoint import build_tokenizer
+    from transformers import AutoTokenizer
+    from videollama2_tpu.inference.api import (SessionStore, VideoLLaMA2,
+                                               mm_infer, mm_infer_session)
+    from videollama2_tpu.inference.engine import Engine
+    from videollama2_tpu.models import videollama2 as vl2
+
+    cfg = cfglib.tiny_model()
+    audio_cfg = AudioConfig(embed_dim=24, encoder_dim=32, num_layers=2,
+                            num_heads=4, intermediate_size=64, conv_pos=8,
+                            conv_pos_groups=4, max_frames=64)
+    cfg = cfg.replace(audio=audio_cfg)
+    params = vl2.init_params(jax.random.PRNGKey(0), cfg)
+    eng = Engine(cfg, params, dtype=jnp.float32, max_len=320, buckets=(192,),
+                 attn_impl="xla", decode_chunk=4)
+    model = VideoLLaMA2(config=cfg, engine=eng)
+    tok_dir = str(tmp_path / "tok")
+    build_tokenizer(tok_dir, cfg.llm.vocab_size)
+    tokenizer = AutoTokenizer.from_pretrained(tok_dir, use_fast=True)
+
+    rng = np.random.default_rng(4)
+    frames = rng.integers(0, 255, (6, 48, 48, 3), dtype=np.uint8)
+    wav = (0.2 * rng.standard_normal(16000)).clip(-1, 1).astype(np.float32)
+    avi = str(tmp_path / "clip.avi")
+    write_avi(avi, frames, wav, fps=3)
+
+    store = SessionStore()
+    turn1 = [{"role": "user", "content": "What sound ?"}]
+    a1 = mm_infer_session(avi, turn1, model, tokenizer, store, modal="av",
+                          max_new_tokens=4)
+    assert store.stats["misses"] == 1
+    turn2 = turn1 + [{"role": "assistant", "content": a1},
+                     {"role": "user", "content": "why ?"}]
+    a2 = mm_infer_session(avi, turn2, model, tokenizer, store, modal="av",
+                          max_new_tokens=4)
+    assert store.stats["hits"] == 1
+    ref = mm_infer(avi, turn2, model, tokenizer, modal="av",
+                   max_new_tokens=4)
+    assert a2 == ref
+
+
 def test_mm_infer_av_from_container(tmp_path):
     """Public-API AV drive: mm_infer(modal='av') on a video file consumes
     the file's own audio track (VERDICT r3 #4 done-criterion)."""

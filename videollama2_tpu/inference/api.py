@@ -427,6 +427,11 @@ class SessionStore:
         if media is None:
             return None
         import hashlib
+        if isinstance(media, dict):  # AV: {"video": ..., "audio": ...}
+            return "+".join(SessionStore.media_digest(media[k])
+                            for k in sorted(media))
+        if isinstance(media, str):   # path-typed media (audio/av files)
+            return hashlib.md5(b"path:" + media.encode()).hexdigest()
         arr = np.ascontiguousarray(np.asarray(media))
         return hashlib.md5(
             arr.tobytes() + str(arr.shape).encode()).hexdigest()
@@ -487,6 +492,17 @@ def mm_infer_session(image_or_video, instruct, model: VideoLLaMA2,
         audio = None
         if modal == "audio":
             audio = _prep_audio(image_or_video, cfg)
+        elif modal == "av":
+            media = image_or_video
+            if isinstance(media, str):
+                arr = process_video(media, cfg=cfg.vision, aspect_ratio=None,
+                                    num_frames=cfg.num_frames or NUM_FRAMES,
+                                    out_dtype="uint8")
+                audio = _prep_av_audio(media, cfg)
+            else:
+                arr = np.asarray(media["video"])
+                audio = _prep_audio(media["audio"], cfg)
+            frames = np.asarray(arr)[None]
         elif modal != "text":
             arr = np.asarray(image_or_video)
             if arr.dtype != np.uint8:

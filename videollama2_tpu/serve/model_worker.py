@@ -142,10 +142,12 @@ class ModelWorker:
         from PIL import Image
         from ..media.preprocess import process_image, process_video
 
-        vis_cfg = self.model.config.vision
-        num_frames = self.model.config.num_frames
+        cfg = self.model.config
+        vis_cfg = cfg.vision
+        num_frames = cfg.num_frames
         images = params.get("images", None)
         video = params.get("video", None)
+        audio = params.get("audio", None)
         videos_b64 = params.get("videos", None)
         if videos_b64:
             # base64-embedded video (web/proxy clients without a shared
@@ -158,13 +160,25 @@ class ModelWorker:
                 f.write(base64.b64decode(videos_b64[0]))
                 video = f.name
         if video:
+            # AV models consume the clip's own audio track alongside the
+            # frames (reference README.md:130-132) unless the request
+            # forces plain video via "modal": "video"
+            want_av = (cfg.audio is not None
+                       and params.get("modal", "av") == "av")
             try:
                 tensor = process_video(video, vis_cfg, aspect_ratio=None,
                                        num_frames=num_frames)
+                if want_av:
+                    from ..inference.api import _prep_av_audio
+                    feats = _prep_av_audio(video, cfg)
+                    return {"video": tensor, "audio": feats}, "av"
             finally:
                 if videos_b64:
                     os.unlink(video)
             return tensor, "video"
+        if audio is not None and cfg.audio is not None:
+            # audio-only request: a .wav/container path on shared storage
+            return audio, "audio"
         if images:
             img = Image.open(io.BytesIO(
                 base64.b64decode(images[0]))).convert("RGB")
@@ -197,7 +211,9 @@ class ModelWorker:
                                          self.speculative_k)),
         )
 
-        if self.batcher is not None:
+        if self.batcher is not None and modal not in ("av", "audio"):
+            # AV/audio requests bypass the batcher (it groups by the
+            # vision/image/text modal kinds only)
             yield from self._generate_batched(prompt, modal, tensor, kwargs)
             return
 
