@@ -211,22 +211,106 @@ def test_engine_speculative_eos_and_budget(tiny):
         assert got == ref
 
 
-def test_engine_speculative_ignored_for_batch_or_sampling(tiny):
-    """speculative_k is a no-op for B>1 / sampling requests (still runs)."""
+def test_engine_speculative_ignored_for_sampling(tiny):
+    """speculative_k is a no-op for sampling requests (still runs)."""
     cfg, params = tiny
     eng = Engine(cfg, params, dtype=jnp.float32, max_len=64,
                  buckets=(32,), attn_impl="xla", decode_chunk=4)
-    outs = eng.generate(
-        [[3, 4, 5], [6, 7, 8]],
-        gen=GenerationConfig(max_new_tokens=4, speculative_k=4),
-        eos_token_id=-1)
-    assert len(outs) == 2 and all(len(o) == 4 for o in outs)
     out = eng.generate(
         [[3, 4, 5]],
         gen=GenerationConfig(max_new_tokens=4, speculative_k=4,
                              do_sample=True, temperature=1.0, seed=1),
         eos_token_id=-1)
     assert len(out[0]) == 4
+
+
+def test_decode_verify_per_row_step0(tiny):
+    """Per-row frontier verify: rows at DIFFERENT decode offsets in one
+    pass match each row's independent sequential decode_steps (the
+    batched-speculation substrate)."""
+    cfg, params = tiny
+    bucket, max_len, K, B = 32, 64, 3, 2
+    prompts = [[3, 4, 5, 6], [7, 8, 9, 10, 11]]
+    plan = splice_lib.plan_batch(prompts, cfg.tokens_per_video, bucket)
+    embeds = llm_lib.embed_tokens(params["llm"], jnp.asarray(plan.text_ids),
+                                  dtype=jnp.float32)
+    positions = jnp.broadcast_to(jnp.arange(bucket)[None], (B, bucket))
+    cache = llm_lib.init_cache(cfg.llm, B, max_len, jnp.float32)
+    valid = jnp.asarray(plan.valid_len)
+    _, cache = llm_lib.prefill(params["llm"], cfg.llm, embeds, positions,
+                               valid, cache, attn_impl="xla")
+    cache_seq = jax.tree.map(jnp.copy, cache)
+
+    rng = np.random.default_rng(2)
+    # row 0 starts at frontier 2, row 1 at frontier 0: pre-advance row 0
+    # by feeding 2 tokens through BOTH paths first
+    pre = [int(t) for t in rng.integers(3, cfg.llm.vocab_size - 1, 2)]
+    toks = [[int(t) for t in rng.integers(3, cfg.llm.vocab_size - 1, K)]
+            for _ in range(B)]
+
+    # sequential reference: per-row independent decode_steps; lockstep API
+    # forces feeding rows together, so use B=1 sub-caches
+    seq_logits = [[], []]
+    for b in range(B):
+        sub = jax.tree.map(lambda a: a[:, b:b + 1], cache_seq)
+        offset = 2 if b == 0 else 0
+        feed = (pre if b == 0 else []) + toks[b]
+        for i, t in enumerate(feed):
+            te = llm_lib.embed_tokens(params["llm"], jnp.asarray([[t]]),
+                                      dtype=jnp.float32)
+            logits, sub = llm_lib.decode_step(
+                params["llm"], cfg.llm, te, sub, valid[b:b + 1], bucket,
+                jnp.int32(i))
+            if i >= offset:
+                seq_logits[b].append(np.asarray(logits)[0])
+
+    # verify path: advance row 0 by 2 via a K=2 verify on row 0 only
+    # (row 1 rides along at frontier 0 re-verifying junk that its real
+    # pass below overwrites)... simpler: feed both rows the pre tokens,
+    # then only row 0's frontier advances.
+    te = llm_lib.embed_tokens(params["llm"], jnp.asarray([pre, pre]),
+                              dtype=jnp.float32)
+    _, cache = llm_lib.decode_verify(params["llm"], cfg.llm, te, cache,
+                                     valid, bucket,
+                                     jnp.asarray([0, 0], jnp.int32))
+    # row 1's rows [bucket, bucket+2) now hold junk; its verify below
+    # starts at frontier 0 and overwrites them before reading
+    step0 = jnp.asarray([2, 0], jnp.int32)
+    te = llm_lib.embed_tokens(params["llm"], jnp.asarray(toks),
+                              dtype=jnp.float32)
+    ver_logits, cache = llm_lib.decode_verify(
+        params["llm"], cfg.llm, te, cache, valid, bucket, step0)
+    ver_logits = np.asarray(ver_logits)
+    for b in range(B):
+        np.testing.assert_allclose(ver_logits[b], np.stack(seq_logits[b]),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"row {b}")
+
+
+def test_engine_batched_speculative_matches_plain_greedy(tiny):
+    """B>1 speculative greedy == plain batched greedy, per row — including
+    a repetitive row (drafts accept), a non-repetitive row, and an
+    early-EOS row advancing at different frontiers."""
+    cfg, params = tiny
+    prompts = [[3, 4, 5, 6, 5, 6, 5, 6],     # repetitive: drafts hit
+               [9, 10, 11, 12, 13],          # drafts mostly miss
+               [6, 6, 6, 6]]                 # whatever this row emits
+    for max_len, steps, eos in ((64, 12, -1), (40, 20, 7)):
+        plain = Engine(cfg, params, dtype=jnp.float32, max_len=max_len,
+                       buckets=(32,), attn_impl="xla", decode_chunk=4)
+        ref = plain.generate(prompts,
+                             gen=GenerationConfig(max_new_tokens=steps),
+                             eos_token_id=eos)
+        for k in (2, 4):
+            eng = Engine(cfg, params, dtype=jnp.float32, max_len=max_len,
+                         buckets=(32,), attn_impl="xla", decode_chunk=4)
+            got = eng.generate(
+                prompts,
+                gen=GenerationConfig(max_new_tokens=steps,
+                                     speculative_k=k),
+                eos_token_id=eos)
+            assert got == ref, (f"batched speculative_k={k} "
+                                f"(max_len={max_len}, eos={eos}) diverged")
 
 
 def test_engine_speculative_int8_fused_qkv(tiny):

@@ -347,6 +347,70 @@ class Engine:
             step0 += accepted + 1
         return outs, cache, step0, done_np
 
+    def _decode_speculative_batched(self, outs, done_np, cache, valid_arr,
+                                    bucket, eos, gen, stop_fn, stream_cb,
+                                    contexts, step0=0):
+        """Per-row speculative decode for B > 1 (beyond-reference).
+
+        Each row drafts from its own context and advances by its own
+        acceptance count: rows write and attend at independent cache
+        frontiers (models/llm.decode_verify per-row step0). Rows that are
+        done (or out of room) ride along masked — their slots re-verify
+        the last token and their frontier stays frozen, so verify writes
+        land beyond their committed rows and are never read.
+
+        Runs to completion (k-slot rounds while every live row fits k,
+        then 1-slot rounds for the cache-budget tail) — unlike the B=1
+        path there is no lockstep chunked loop to fall through to once
+        frontiers diverge. Greedy output is token-identical per row to
+        the plain batched loop (tests/test_speculative.py)."""
+        from . import speculative as spec
+        B = len(outs)
+        budget = self.max_len - bucket
+        steps = np.full(B, step0, np.int64)
+
+        def live(b, room_rows):
+            return (not done_np[b] and len(outs[b]) < gen.max_new_tokens
+                    and steps[b] + room_rows <= budget)
+
+        for k_round in (gen.speculative_k, 1):
+            verify = self._get_verify(bucket, k_round)
+            while any(live(b, k_round) for b in range(B)):
+                tokens = []
+                drafts_by_row = []
+                for b in range(B):
+                    last = outs[b][-1]
+                    if live(b, k_round):
+                        drafts = spec.ngram_propose(contexts[b] + outs[b],
+                                                    k_round - 1)
+                        drafts += [last] * (k_round - 1 - len(drafts))
+                    else:
+                        drafts = [last] * (k_round - 1)
+                    drafts_by_row.append(drafts)
+                    tokens.append([last] + drafts)
+                greedy, _, cache = verify(
+                    self.params, jnp.asarray(tokens, jnp.int32), cache,
+                    valid_arr, jnp.asarray(steps, jnp.int32))
+                greedy_np = np.asarray(greedy)
+                for b in range(B):
+                    if not live(b, k_round):
+                        continue
+                    emitted, accepted = spec.accept_drafts(
+                        drafts_by_row[b],
+                        [int(t) for t in greedy_np[b]])
+                    room = gen.max_new_tokens - len(outs[b])
+                    emitted = emitted[:room]
+                    for t in emitted:
+                        outs[b].append(t)
+                        if t == eos or (stop_fn is not None
+                                        and stop_fn(outs[b])):
+                            done_np[b] = True
+                            break
+                    if stream_cb is not None:
+                        stream_cb(b, outs[b])
+                    steps[b] += accepted + 1
+        return outs, cache, int(steps.max()), done_np
+
     def _frames_to_device(self, frames) -> jax.Array:
         """Frames to device: uint8 stays uint8 (normalized on device by
         encode_frames), floats cast to the engine dtype. jax.Arrays pass
@@ -473,10 +537,10 @@ class Engine:
                 stream_cb(b, outs[b])
 
         valid_arr = jnp.asarray(plan.valid_len)
-        context = [t for t in batch_input_ids[0] if t >= 0]
+        contexts = [[t for t in ids if t >= 0] for ids in batch_input_ids]
         outs, cache, steps_done = self._decode_tail(
             outs, done_np, cache, valid_arr, bucket, 0, first, rng, eos,
-            gen, stop_fn, stream_cb, context)
+            gen, stop_fn, stream_cb, contexts)
         if return_session:
             # steps_done from the LOOP over-counts when EOS landed inside a
             # chunk / speculative round (the remaining masked steps embed
@@ -496,18 +560,26 @@ class Engine:
 
     def _decode_tail(self, outs, done_np, cache, valid_arr, bucket,
                      steps_done, tokens, rng, eos, gen, stop_fn, stream_cb,
-                     context):
+                     contexts):
         """Shared decode loop after a first token exists: speculative loop
         (when eligible) then chunked scan decode for the remainder.
+        `contexts`: per-row prompt token lists (draft source).
         Returns (outs, cache, steps_done)."""
         B = len(outs)
+        if gen.speculative_k >= 2 and B > 1 and not gen.do_sample:
+            # per-row frontiers after batched speculation are incompatible
+            # with the lockstep chunk loop below, so the batched variant
+            # runs to completion and returns directly
+            return self._decode_speculative_batched(
+                outs, done_np, cache, valid_arr, bucket, eos, gen,
+                stop_fn, stream_cb, contexts, steps_done)[:3]
         if gen.speculative_k >= 2 and B == 1 and not gen.do_sample:
-            # prompt-lookup speculative decode (greedy batch-1 only; output
-            # tokens identical to the plain loop below). Any cache-budget
+            # prompt-lookup speculative decode (greedy; output tokens
+            # identical to the plain loop below). Any cache-budget
             # tail (< k rows left) falls through to the plain loop.
             outs, cache, steps_done, done_np = self._decode_speculative(
                 outs, done_np, cache, valid_arr, bucket, eos, gen,
-                stop_fn, stream_cb, context, steps_done)
+                stop_fn, stream_cb, contexts[0], steps_done)
             tokens = jnp.asarray([outs[0][-1]], jnp.int32)
         done = jnp.asarray(done_np)
         decode = self._get_decode(gen.do_sample, gen.temperature, gen.top_p,
@@ -598,7 +670,7 @@ class Engine:
         feed_end = steps_done            # rows committed after the feed
         outs, cache, steps_done = self._decode_tail(
             outs, done_np, cache, valid_arr, session.bucket, steps_done,
-            first, rng, eos, gen, stop_fn, stream_cb, context)
+            first, rng, eos, gen, stop_fn, stream_cb, [context])
         # same over-count correction as generate(): only len(outs)-1 decode
         # rows after the feed belong to the sequence
         new_session = Session(

@@ -443,17 +443,25 @@ def decode_verify(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
     [step0', step0'+K) ⊇ the stale tail, and masks never reach past the
     accepted frontier).
 
+    step0 may be a scalar (lockstep rows: sessions, B=1 speculation) or a
+    [B] array of PER-ROW decode frontiers — batched speculative decoding
+    advances each row by its own acceptance count, so rows write and
+    attend at independent cache offsets.
+
     token_embeds: [B, K, D]. Returns (logits [B, K, V] fp32, cache).
     """
     B, K, _ = token_embeds.shape
     M = cache.max_len
     offs = jnp.arange(K)
-    positions = valid_len[:, None] + step0 + offs[None, :]      # [B, K]
+    step_arr = jnp.broadcast_to(jnp.asarray(step0, jnp.int32),
+                                valid_len.shape)                # [B]
+    positions = valid_len[:, None] + step_arr[:, None] \
+        + offs[None, :]                                         # [B, K]
     cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
-    write_pos = prompt_len + step0                              # first row
+    write_pos = prompt_len + step_arr                           # [B]
 
     ki = jnp.arange(M)[None, None, :]                           # [1, 1, M]
-    frontier = (write_pos + offs)[None, :, None]                # [1, K, 1]
+    frontier = (write_pos[:, None] + offs[None, :])[:, :, None]  # [B, K, 1]
     mask = (ki < valid_len[:, None, None]) | \
            ((ki >= prompt_len) & (ki <= frontier))              # [B, K, M]
     if cfg.sliding_window is not None:
@@ -479,10 +487,15 @@ def decode_verify(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
         k = k.reshape(B, K, Kh, hd)
         v = v.reshape(B, K, Kh, hd)
         q, k = apply_rope(q, k, cos, sin)
-        ck = jax.lax.dynamic_update_slice(
-            ck, k.reshape(B, K, Kh * hd).astype(ck.dtype), (0, write_pos, 0))
-        cv = jax.lax.dynamic_update_slice(
-            cv, v.reshape(B, K, Kh * hd).astype(cv.dtype), (0, write_pos, 0))
+
+        # per-row K-row write at each row's own frontier (vmapped DUS
+        # lowers to a scatter; K*B rows, negligible at decode scale)
+        def _write(c, rows, wp):
+            return jax.lax.dynamic_update_slice(c, rows, (wp, 0))
+        ck = jax.vmap(_write)(
+            ck, k.reshape(B, K, Kh * hd).astype(ck.dtype), write_pos)
+        cv = jax.vmap(_write)(
+            cv, v.reshape(B, K, Kh * hd).astype(cv.dtype), write_pos)
         out = attn_ops.mha_xla(q, ck.reshape(B, M_, Kh, hd).astype(q.dtype),
                                cv.reshape(B, M_, Kh, hd).astype(q.dtype),
                                mask=mask)
