@@ -118,6 +118,36 @@ def main():
         results[f"oracle_k{k}_speedup"] = round(ms_plain / ms_oracle, 2)
     spec_lib.ngram_propose = real_propose
 
+    # ---- batched speculation (per-row cache frontiers): B rotated
+    # repetitive prompts, each row drafting from its own context
+    B = int(os.environ.get("SPEC_B", "8"))
+    prompts = [((base[i % len(base):] + base[:i % len(base)]) * 8)[:64]
+               for i in range(B)]
+
+    def run_b(gen, label, iters=3):
+        outs = eng.generate(prompts, gen=gen, eos_token_id=-1)
+        n = sum(len(o) for o in outs)
+        best = []
+        for _ in range(iters):
+            t0 = time.time()
+            outs = eng.generate(prompts, gen=gen, eos_token_id=-1)
+            best.append((time.time() - t0) / sum(len(o) for o in outs)
+                        * 1e3)
+        ms = float(np.median(best))
+        print(f"[spec-bench] {label:18s} {ms:7.2f} ms/tok aggregate "
+              f"({n} toks)", file=sys.stderr, flush=True)
+        return ms, outs
+
+    ms_bplain, ref_b = run_b(GenerationConfig(max_new_tokens=steps),
+                             f"plain B={B}")
+    ms_bspec, out_b = run_b(
+        GenerationConfig(max_new_tokens=steps, speculative_k=8),
+        f"lookup B={B} k=8")
+    assert out_b == ref_b, "batched speculative diverged from greedy"
+    results[f"batch{B}_plain_ms_per_tok"] = round(ms_bplain, 3)
+    results[f"batch{B}_lookup_k8_ms_per_tok"] = round(ms_bspec, 3)
+    results[f"batch{B}_lookup_k8_speedup"] = round(ms_bplain / ms_bspec, 2)
+
     import json
     print(json.dumps(results))
 
