@@ -110,14 +110,14 @@ def _unpack_nibbles(p, dtype):
     int8 (arith.shli), and int32 arithmetic runs at 1/4 vector width. All
     byte values are exactly representable in bf16/f32 (|p| <= 127 < 2^8
     mantissa bits), so the nibbles come out via float floor-division at
-    full VPU width. byte = (lo & 0xF) | ((hi & 0xF) << 4), both signed."""
+    full VPU width. byte = 16*hi + (lo + 8) — the low nibble is stored
+    offset-binary (ops/quant.quantize_int4), so its sign extension is a
+    constant subtract instead of a second floor chain: 4 f32 ops/byte."""
     # f32 ALU throughout: v5e has no bf16 vector ALU (floor/compare fail
     # to legalize), and int32 runs at 1/4 width
     pf = p.astype(jnp.float32)
     hi = jnp.floor(pf * 0.0625)                    # arithmetic >> 4
-    lo_u = pf - hi * 16.0                          # unsigned low nibble
-    # sign-extend without a compare: floor(lo_u/8) is 1 iff lo_u >= 8
-    lo = lo_u - 16.0 * jnp.floor(lo_u * 0.125)
+    lo = pf - hi * 16.0 - 8.0                      # offset-binary low nibble
     return lo.astype(dtype), hi.astype(dtype)
 
 

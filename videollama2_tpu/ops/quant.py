@@ -37,14 +37,20 @@ def quantize_int4(w: jax.Array, axis: int = -1) -> Dict[str, jax.Array]:
     nibble) — NOT interleaved pairs. Unpacking is then two contiguous
     half-slices + concat, and the decode kernels (ops/decode_matmul q4
     paths) never reorder rows in-register: they split the activation into
-    halves and take two dots against the two nibble planes."""
+    halves and take two dots against the two nibble planes.
+
+    The low nibble is stored OFFSET-BINARY (lo + 8, in [1, 15]) while the
+    high nibble stays two's-complement: byte = 16*hi + (lo + 8) then never
+    wraps int8 (range [-111, 127]), so the VPU unpack needs no second
+    floor for sign extension — hi = floor(b/16), lo = b - 16*hi - 8 (4 f32
+    ops/byte vs 6 for the symmetric pack; decode_matmul._unpack_nibbles)."""
     amax = jnp.max(jnp.abs(w), axis=axis, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 7.0
     q = jnp.clip(jnp.round(w / scale), -7, 7).astype(jnp.int8)
     q = jnp.moveaxis(q, axis, -1)
     n = q.shape[-1]
     assert n % 2 == 0, "int4 pack needs even dimension"
-    lo = q[..., :n // 2] & 0x0F
+    lo = (q[..., :n // 2] + 8) & 0x0F
     hi = (q[..., n // 2:] & 0x0F) << 4
     packed = (lo | hi).astype(jnp.int8)
     packed = jnp.moveaxis(packed, -1, axis)
@@ -57,7 +63,7 @@ def dequantize_int4(pack: Dict[str, jax.Array], dtype=jnp.bfloat16
                     ) -> jax.Array:
     axis = int(pack["axis"])
     q = jnp.moveaxis(pack["q4"], axis, -1)
-    lo = (q << 4).astype(jnp.int8) >> 4  # sign-extend low nibble
+    lo = ((q & 0x0F) - 8).astype(jnp.int8)  # offset-binary low nibble
     hi = q >> 4                          # arithmetic shift sign-extends high
     full = jnp.concatenate([lo, hi], axis=-1)   # folded halves
     full = jnp.moveaxis(full, -1, axis)
@@ -71,7 +77,7 @@ def dequantize_int4_in(q4: jax.Array, scale: jax.Array,
     jit-safe: no data-dependent axis lookup, so it works inside scanned
     layer bodies (ops/layers.dense kernel_q4 branch)."""
     q = jnp.moveaxis(q4, -2, -1)
-    lo = (q << 4).astype(jnp.int8) >> 4
+    lo = ((q & 0x0F) - 8).astype(jnp.int8)  # offset-binary low nibble
     hi = q >> 4
     full = jnp.concatenate([lo, hi], axis=-1)   # folded halves
     full = jnp.moveaxis(full, -1, -2)
