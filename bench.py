@@ -150,7 +150,8 @@ def _run(quantize_llm: bool):
     # the ~11 MB/s tunnel (BENCH_r03). On-device fills write at HBM
     # bandwidth and transfer nothing (VERDICT r3 #1a). int8 packs are built
     # directly (never materializing bf16+int8 together in the 16 GB HBM).
-    sds = jax.ShapeDtypeStruct
+    from videollama2_tpu.utils import synthetic
+
     abstract = jax.eval_shape(
         lambda: vl2.init_params(jax.random.PRNGKey(0), cfg,
                                 dtype=jnp.bfloat16 if on_tpu
@@ -158,55 +159,24 @@ def _run(quantize_llm: bool):
     wcfg = "bf16"
     if quantize_llm and full_path:
         # weight-only int8 LLM: halves HBM footprint and roughly doubles
-        # the bandwidth-bound decode (dequant fused in-graph, ops/quant)
-        def q8_like(entry):
-            w = entry["kernel"]
-            return {"kernel_q8": {
-                "q": sds(w.shape, jnp.int8),
-                "scale": sds(w.shape[:-2] + (1, w.shape[-1]),
-                             jnp.float32)}}
-        layers = dict(abstract["llm"]["layers"])
-        for name in ("q", "k", "v", "o", "gate", "up", "down"):
-            entry = dict(layers[name])
-            entry.update(q8_like(entry))
-            del entry["kernel"]
-            layers[name] = entry
-        abstract["llm"] = {**abstract["llm"], "layers": layers}
-        if model == "qwen2":
-            # 152k vocab: bf16 embed + lm_head alone are 2.2 GB and
-            # push the int8 7B past 16 GB HBM — store both int8
-            # (models/llm.embed_tokens / lm_logits q8 paths)
-            hk = abstract["llm"]["lm_head"]["kernel"]
-            abstract["llm"]["lm_head"] = {"kernel_q8": {
-                "q": sds(hk.shape, jnp.int8),
-                "scale": sds((1, hk.shape[-1]), jnp.float32)}}
-            ew = abstract["llm"]["embed"]["weight"]
-            abstract["llm"]["embed"] = {"weight_q8": {
-                "q": sds(ew.shape, jnp.int8),
-                "scale": sds((ew.shape[0], 1), jnp.float32)}}
-        # the frozen tower's stacked linears go int8 too (bitsandbytes
+        # the bandwidth-bound decode (dequant fused in-graph, ops/quant).
+        # The frozen tower's stacked linears go int8 too (bitsandbytes
         # load_8bit wraps every nn.Linear incl. the vision tower,
-        # reference model/__init__.py:59-69); encode then runs W8A8
-        # MXU dots inside the prefill context
-        vlayers = dict(abstract["vision"]["layers"])
-        for name in ("q", "k", "v", "o", "fc1", "fc2"):
-            entry = dict(vlayers[name])
-            entry.update(q8_like(entry))
-            del entry["kernel"]
-            vlayers[name] = entry
-        abstract["vision"] = {**abstract["vision"], "layers": vlayers}
-        wcfg = "int8-weights"
-
-    def _fill_leaf(path, a):
-        if a.dtype == jnp.int8:
-            return jnp.ones(a.shape, a.dtype)
-        is_scale = any(getattr(k, "key", None) == "scale" for k in path)
-        return jnp.full(a.shape, 1e-4 if is_scale else 0.01, a.dtype)
+        # reference model/__init__.py:59-69); encode then runs W8A8 MXU
+        # dots inside the prefill context. qwen2's 152k-vocab embed +
+        # lm_head (2.2 GB bf16) also go int8 to fit 16 GB HBM.
+        # BENCH_BITS=4 opts the LLM into the folded-nibble int4 pack
+        # (load_4bit parity) — measured FASTER than int8 since the
+        # offset-binary unpack (11.0 vs 13.6 ms/tok decode, BASELINE.md);
+        # int8 stays the default for round-over-round comparability.
+        bench_bits = int(os.environ.get("BENCH_BITS", "8"))
+        abstract = synthetic.quantized_abstract(
+            abstract, quantize_llm=True, quantize_vision=True,
+            quantize_embed=(model == "qwen2"), llm_bits=bench_bits)
+        wcfg = f"int{bench_bits}-weights"
 
     t0 = time.time()
-    params = jax.jit(lambda: jax.tree_util.tree_map_with_path(
-        _fill_leaf, abstract))()
-    jax.block_until_ready(params)
+    params = synthetic.materialize_fills(abstract)
     t_fill = time.time() - t0
 
     H = cfg.vision.image_size

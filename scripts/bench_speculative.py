@@ -63,7 +63,8 @@ def main():
         # plus its packs would OOM the 16 GB chip (utils/synthetic.py)
         from videollama2_tpu.utils import synthetic
         params = synthetic.synthetic_model_params(
-            cfg, dtype=jnp.bfloat16, quantize_llm=True)
+            cfg, dtype=jnp.bfloat16, quantize_llm=True,
+            llm_bits=int(os.environ.get("SPEC_BITS", "8")))
     else:
         params = vl2.init_params(jax.random.PRNGKey(0), cfg,
                                  dtype=jnp.bfloat16 if on_tpu

@@ -20,41 +20,22 @@ def main():
     from videollama2_tpu.core import config as cfglib
     from videollama2_tpu.models import llm as llm_lib
 
+    from videollama2_tpu.utils import synthetic
+
     cfg = cfglib.preset("videollama2_mistral").llm
     B = int(os.environ.get("B", "8"))
-    cpu = jax.devices("cpu")[0]
-    dev = jax.devices()[0]
 
-    with jax.default_device(cpu):
-        lshape = jax.eval_shape(lambda: llm_lib.init_params(
-            jax.random.PRNGKey(0), cfg, jnp.bfloat16))
-        lparams = jax.tree.map(lambda a: jnp.full(a.shape, 0.01, a.dtype),
-                               lshape)
-        layers = dict(lparams["layers"])
-        if os.environ.get("QUANT", "1") == "0":
-            names = ()
-        else:
-            names = ("q", "k", "v", "o", "gate", "up", "down")
-        bits = int(os.environ.get("BITS", "8"))
-        for name in names:
-            e = dict(layers[name])
-            w = e.pop("kernel")
-            scale = jnp.full(w.shape[:-2] + (1, w.shape[-1]), 1e-4,
-                             jnp.float32)
-            if bits == 8:
-                e["kernel_q8"] = {"q": jnp.ones(w.shape, jnp.int8),
-                                  "scale": scale}
-            else:  # folded int4 pack: half the rows, two nibbles per byte
-                e["kernel_q4"] = {
-                    "q4": jnp.ones(w.shape[:-2] + (w.shape[-2] // 2,
-                                                   w.shape[-1]), jnp.int8),
-                    "scale": scale}
-            layers[name] = e
-        lparams["layers"] = layers
-        if names and os.environ.get("FUSEQKV", "1") == "1":
-            from videollama2_tpu.ops import quant as quant_lib
-            lparams = quant_lib.fuse_qkv(lparams)
-    lparams = jax.device_put(lparams, dev)
+    # shape host-side, fill ON-device (no multi-GB tunnel upload)
+    labstract = jax.eval_shape(lambda: llm_lib.init_params(
+        jax.random.PRNGKey(0), cfg, jnp.bfloat16))
+    quant = os.environ.get("QUANT", "1") == "1"
+    bits = int(os.environ.get("BITS", "8"))
+    if quant:
+        labstract = synthetic.quantized_llm_abstract(labstract, bits=bits)
+    lparams = synthetic.materialize_fills(labstract)
+    if quant and os.environ.get("FUSEQKV", "1") == "1":
+        from videollama2_tpu.ops import quant as quant_lib
+        lparams = quant_lib.fuse_qkv(lparams)
 
     M = int(os.environ.get("MAXLEN", "2080"))
     bucket = M - 32
@@ -87,8 +68,12 @@ def main():
     np.asarray(tok)
     t = (time.time() - t0) / iters
     per = t / 32
-    print(f"decode B={B}: {per*1e3:.2f} ms/tok, "
-          f"int8-weight stream {7.1e9/per/1e9:.0f} GB/s, "
+    wbytes = sum(leaf.size * leaf.dtype.itemsize
+                 for leaf in jax.tree.leaves(lparams))
+    tag = f"int{bits}" if quant else "bf16"
+    print(f"decode B={B} {tag}: {per*1e3:.2f} ms/tok, "
+          f"weight stream {wbytes/per/1e9:.0f} GB/s "
+          f"({wbytes/1e9:.1f} GB/step), "
           f"{B/per:.1f} tok/s aggregate")
 
 

@@ -53,7 +53,8 @@ def main():
                 vocab_size=32000),
             connector=dataclasses.replace(cfg.connector, hidden_size=1536),
             num_frames=8)
-        B, S = int(os.environ.get("TRAIN_B", "2")), 1024
+        B, S = (int(os.environ.get("TRAIN_B", "2")),
+                int(os.environ.get("TRAIN_S", "1024")))
 
     rng = np.random.default_rng(0)
     T, H = cfg.num_frames, cfg.vision.image_size

@@ -41,6 +41,8 @@ run() {
 
 # decode floor first (shortest, most load-sensitive)
 run profile_decode 1200 python scripts/profile_decode.py
+# int4 folded-nibble decode (beats int8 since the offset-binary unpack)
+run profile_decode_int4 1200 env BITS=4 python scripts/profile_decode.py
 # spec-decode ceiling at 7B int8
 run bench_speculative 2400 python scripts/bench_speculative.py
 # component stages (encode/prefill/decode attribution)

@@ -67,17 +67,10 @@ def model_init(model_path: Optional[str] = None, dtype=None,
         vision_tower_path=vision_tower_path)
     if load_8bit or load_4bit:
         from ..ops import quant
-        if load_4bit:
-            # int4 is a MEMORY play, not a speed play on v5e: nibble
-            # unpack runs at VPU element rate and outweighs the halved
-            # DMA — measured 29.9 vs 14.7 ms/tok against int8 at 7B/B=8
-            # (docs/DESIGN.md). Pick load_8bit unless the 2x weight-
-            # memory cut is what you need (bigger batches/caches).
-            import warnings
-            warnings.warn(
-                "load_4bit halves weight memory but decodes ~2x slower "
-                "than load_8bit on TPU v5e (VPU nibble unpack); prefer "
-                "load_8bit unless HBM-bound", stacklevel=2)
+        # int4 note: with the offset-binary folded-nibble pack (4 f32 VPU
+        # ops/byte unpack, ops/quant.quantize_int4) int4 decode BEATS int8
+        # on v5e — 11.0 vs 13.7 ms/tok at 7B/B=8 (docs/DESIGN.md) — on top
+        # of the 2x weight-memory cut. The trade is accuracy, not speed.
         params["llm"] = quant.quantize_llm_params(
             params["llm"], bits=8 if load_8bit else 4)
         if load_8bit and "vision" in params:

@@ -29,20 +29,37 @@ def _q8_like(entry):
         "scale": sds(w.shape[:-2] + (1, w.shape[-1]), jnp.float32)}}
 
 
+def _q4_like(entry):
+    # folded nibble pack: half the in-rows, layout of ops/quant.quantize_int4
+    sds = jax.ShapeDtypeStruct
+    w = entry["kernel"]
+    return {"kernel_q4": {
+        "q4": sds(w.shape[:-2] + (w.shape[-2] // 2, w.shape[-1]), jnp.int8),
+        "scale": sds(w.shape[:-2] + (1, w.shape[-1]), jnp.float32)}}
+
+
+def quantized_llm_abstract(llm_abstract: dict, bits: int = 8) -> dict:
+    """Rewrite an LLM eval_shape subtree to its int8/int4-pack layout."""
+    pack = _q8_like if bits == 8 else _q4_like
+    layers = dict(llm_abstract["layers"])
+    for name in ("q", "k", "v", "o", "gate", "up", "down"):
+        entry = dict(layers[name])
+        entry.update(pack(entry))
+        del entry["kernel"]
+        layers[name] = entry
+    return {**llm_abstract, "layers": layers}
+
+
 def quantized_abstract(abstract: dict, quantize_llm: bool = True,
                        quantize_vision: bool = False,
-                       quantize_embed: bool = False) -> dict:
+                       quantize_embed: bool = False,
+                       llm_bits: int = 8) -> dict:
     """Rewrite an eval_shape param tree to its int8-pack layout."""
     sds = jax.ShapeDtypeStruct
     abstract = dict(abstract)
     if quantize_llm:
-        layers = dict(abstract["llm"]["layers"])
-        for name in ("q", "k", "v", "o", "gate", "up", "down"):
-            entry = dict(layers[name])
-            entry.update(_q8_like(entry))
-            del entry["kernel"]
-            layers[name] = entry
-        abstract["llm"] = {**abstract["llm"], "layers": layers}
+        abstract["llm"] = quantized_llm_abstract(abstract["llm"],
+                                                 bits=llm_bits)
         if quantize_embed:
             # large-vocab families (Qwen2 152k): bf16 embed + lm_head alone
             # are 2.2 GB — store both int8 (models/llm q8 paths)
@@ -82,12 +99,13 @@ def materialize_fills(abstract) -> dict:
 
 def synthetic_model_params(cfg, dtype=jnp.bfloat16, quantize_llm=True,
                            quantize_vision=False,
-                           quantize_embed=False) -> dict:
-    """eval_shape + (optional) int8 layout rewrite + on-device fills."""
+                           quantize_embed=False, llm_bits=8) -> dict:
+    """eval_shape + (optional) int8/int4 layout rewrite + on-device fills."""
     from ..models import videollama2 as vl2
     abstract = jax.eval_shape(
         lambda: vl2.init_params(jax.random.PRNGKey(0), cfg, dtype=dtype))
     abstract = quantized_abstract(abstract, quantize_llm=quantize_llm,
                                   quantize_vision=quantize_vision,
-                                  quantize_embed=quantize_embed)
+                                  quantize_embed=quantize_embed,
+                                  llm_bits=llm_bits)
     return materialize_fills(abstract)
