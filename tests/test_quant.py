@@ -156,6 +156,63 @@ def test_w8a8_prefill_context_matches_dequant():
     assert rel < 0.05, rel
 
 
+def test_dense_w4a8_weight_recovery_exact():
+    """The folded-nibble planes must unpack to EXACTLY the int4 grid the
+    pack was built from (offset-binary low nibble, two's-complement high),
+    i.e. dense_w4a8's weight side loses nothing vs dequantization."""
+    from videollama2_tpu.ops.layers import dense_w4a8
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.standard_normal((256, 128)).astype(np.float32))
+    pack = quant.quantize_int4(w, axis=-2)
+    wref = np.asarray(quant.dequantize_int4(pack, jnp.float32))
+    x = jnp.asarray(rng.standard_normal((4, 256)).astype(np.float32))
+    got = np.asarray(dense_w4a8(
+        x, {"q4": pack["q4"], "scale": pack["scale"]}))
+    ref = np.asarray(x) @ wref
+    # residual is the activation 8-bit rounding only
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.02, rel
+    assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.9995
+
+
+def test_w4a8_prefill_context_matches_dequant():
+    """Inside ops.layers.w8a8_prefill, large-row int4-pack matmuls route
+    through the s8xs8 dot too (W4A8 — the load_4bit serving prefill on
+    TPU); full-model logits must track the dequantize-in-graph path."""
+    import jax
+    from videollama2_tpu.core import config as cfglib
+    from videollama2_tpu.models import llm as llm_lib
+    from videollama2_tpu.ops import layers as layers_ops
+
+    cfg = cfglib.tiny_llm()
+    params = llm_lib.init_params(jax.random.PRNGKey(0), cfg)
+    q4 = quant.quantize_llm_params(params, bits=4)
+
+    B, S = 2, 96  # rows > 64: the prefill branch
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg.vocab_size, (B, S))
+    embeds = llm_lib.embed_tokens(q4, jnp.asarray(ids))
+    pos = jnp.broadcast_to(jnp.arange(S), (B, S))
+    valid = jnp.full((B,), S)
+
+    h_ref, _ = llm_lib.forward(q4, cfg, embeds, pos, valid, attn_impl="xla")
+
+    orig = layers_ops._on_tpu
+    layers_ops._on_tpu = lambda: True  # dense_w4a8 is plain XLA, runs on CPU
+    try:
+        with layers_ops.w8a8_prefill(True):
+            h_w4, _ = llm_lib.forward(q4, cfg, embeds, pos, valid,
+                                      attn_impl="xla")
+    finally:
+        layers_ops._on_tpu = orig
+    ref = np.asarray(h_ref, np.float64).ravel()
+    got = np.asarray(h_w4, np.float64).ravel()
+    corr = np.corrcoef(ref, got)[0, 1]
+    assert corr > 0.999, corr
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.05, rel
+
+
 def test_int8_embed_multimodal_prefill():
     """Regression: quantize_llm_params(include_embed=True) must not break
     multimodal prefill (round-2 verdict: every vision/audio prefill indexed

@@ -126,10 +126,22 @@ def dense(x: jax.Array, p: dict) -> jax.Array:
     if "kernel" in p:
         y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype))
     elif "kernel_q4" in p:
-        from .quant import dequantize_int4_in
-        w = dequantize_int4_in(p["kernel_q4"]["q4"], p["kernel_q4"]["scale"],
-                               x.dtype)
-        y = jnp.einsum("...i,io->...o", x, w)
+        pack = p["kernel_q4"]
+        rows = 1
+        for s in x.shape[:-1]:
+            rows *= s
+        if _on_tpu() and (rows <= 64 or _w8a8_large_rows_enabled()):
+            # W4A8: nibbles unpack LOSSLESSLY to int8 (values in [-7, 7],
+            # per-output-channel scale unchanged), so the serving prefill
+            # rides the same s8xs8 MXU path as int8 packs — the int8
+            # scratch copy is half the bytes of the bf16 dequant it
+            # replaces and the dot is the faster s8 form (222 vs 146 TF/s
+            # at prefill shapes, docs/DESIGN.md)
+            y = dense_w4a8(x, pack)
+        else:
+            from .quant import dequantize_int4_in
+            w = dequantize_int4_in(pack["q4"], pack["scale"], x.dtype)
+            y = jnp.einsum("...i,io->...o", x, w)
     else:
         pack = p["kernel_q8"]
         rows = 1
@@ -191,6 +203,32 @@ def dense_w8a8(x: jax.Array, pack: dict) -> jax.Array:
     xs = jnp.maximum(amax, 1e-8) / 127.0
     xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
     acc = jnp.einsum("...i,io->...o", xq, pack["q"],
+                     preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * xs
+            * pack["scale"][..., 0, :]).astype(x.dtype)
+
+
+def dense_w4a8(x: jax.Array, pack: dict) -> jax.Array:
+    """W4A8 matmul: folded-nibble int4 pack -> int8 planes -> s8xs8 dot.
+
+    The folded pack stores byte i = (row i low nibble, offset-binary) |
+    (row i + n/2 high nibble, two's-complement) << 4 (ops/quant
+    .quantize_int4). Both nibbles recover EXACTLY as int8 — hi =
+    arithmetic-shift >> 4 (the low nibble is always positive, so the
+    floor never crosses a boundary), lo = (b & 0xF) - 8 — and the
+    per-output-channel scale is shared, so the weight side loses nothing;
+    the activation side uses the same per-row 8-bit quantization as
+    dense_w8a8 (the approximation W8A8 serving already accepts).
+    """
+    q = pack["q4"]
+    lo = ((q & 0x0F) - 8).astype(jnp.int8)
+    hi = (q >> 4).astype(jnp.int8)
+    wq = jnp.concatenate([lo, hi], axis=-2)   # folded halves: rows i, i+n/2
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xs = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    acc = jnp.einsum("...i,io->...o", xq, wq,
                      preferred_element_type=jnp.int32)
     return (acc.astype(jnp.float32) * xs
             * pack["scale"][..., 0, :]).astype(x.dtype)
