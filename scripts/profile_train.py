@@ -41,6 +41,14 @@ def main():
     if size == "tiny":
         cfg = cfglib.tiny_model()
         B, S = 2, 64
+    elif size == "7b-lora":
+        # the reference QLoRA recipe at full model scale: frozen int8
+        # Mistral-7B base + r=128 adapters + trainable projector
+        # (scripts/custom/finetune_qlora.sh: --bits 4/8 --lora_r 128
+        # --lora_alpha 256, seq 2048)
+        cfg = cfglib.preset("videollama2_mistral")
+        B, S = (int(os.environ.get("TRAIN_B", "2")),
+                int(os.environ.get("TRAIN_S", "2048")))
     else:
         # ~0.7B-LLM SFT shape: hidden 1536 x 16 layers, CLIP-L/336 tower
         import dataclasses
@@ -64,13 +72,32 @@ def main():
     abstract = jax.eval_shape(lambda: vl2.init_params(
         jax.random.PRNGKey(0), cfg,
         dtype=jnp.bfloat16 if on_tpu else jnp.float32))
-    params = jax.jit(lambda: jax.tree.map(
-        lambda a: jnp.full(a.shape, 0.01, a.dtype), abstract))()
-    jax.block_until_ready(params)
-    # frozen tower (reference train.py:534); connector+LLM trainable
-    mask = jax.tree.map(lambda _: True, params)
-    mask["vision"] = jax.tree.map(lambda _: False, params["vision"])
-    tx = optax.adamw(1e-5)
+    if size == "7b-lora":
+        from videollama2_tpu.train import lora as lora_lib
+        from videollama2_tpu.train import optimizer as opt_lib
+        from videollama2_tpu.utils import synthetic
+        bits = int(os.environ.get("TRAIN_BITS", "8"))
+        abstract = synthetic.quantized_abstract(abstract, quantize_llm=True,
+                                                llm_bits=bits)
+        params = synthetic.materialize_fills(abstract)
+        lcfg = lora_lib.LoraConfig(r=128, alpha=256)
+        # bf16 adapters (peft's compute dtype in the reference bf16 runs):
+        # r=128 over 7 matmul families is 335M adapter params — f32
+        # storage + f32 AdamW moments alone would cost 4 GB of the 16
+        params["llm"] = lora_lib.inject_lora(jax.random.PRNGKey(0),
+                                             params["llm"], lcfg,
+                                             dtype=jnp.bfloat16)
+        ocfg = opt_lib.OptimizerConfig(lora_enable=True)
+        mask = opt_lib.trainable_mask(params, ocfg)
+        tx = opt_lib.build_optimizer(params, ocfg)
+    else:
+        params = jax.jit(lambda: jax.tree.map(
+            lambda a: jnp.full(a.shape, 0.01, a.dtype), abstract))()
+        jax.block_until_ready(params)
+        # frozen tower (reference train.py:534); connector+LLM trainable
+        mask = jax.tree.map(lambda _: True, params)
+        mask["vision"] = jax.tree.map(lambda _: False, params["vision"])
+        tx = optax.adamw(1e-5)
     state = step_lib.init_state(params, tx)
     remat = {"full": True, "dots": "dots", "none": False}[
         os.environ.get("TRAIN_REMAT", "full")]
@@ -116,7 +143,9 @@ def main():
         + 3 * lcfg.hidden_size * lcfg.intermediate_size)
         + 2 * lcfg.vocab_size * lcfg.hidden_size)
     toks = B * S
-    flops = 6 * n_llm * toks
+    # frozen-base LoRA: fwd (2N) + dgrad through the base (2N), no base
+    # wgrad — 4N useful FLOPs/token vs 6N for full finetuning
+    flops = (4 if size == "7b-lora" else 6) * n_llm * toks
     peak = 197e12 if on_tpu else 1e12
     print(f"train step ({size}): {dt*1e3:.1f} ms/step, "
           f"{toks/dt:.0f} tok/s, llm-param count {n_llm/1e9:.2f}B, "

@@ -60,3 +60,46 @@ def test_synthetic_matches_eval_shape_when_unquantized():
     want = jax.tree.map(lambda a: tuple(a.shape), ref)
     assert jax.tree.structure(got) == jax.tree.structure(want)
     assert jax.tree.leaves(got) == jax.tree.leaves(want)
+
+
+def test_synthetic_quant_layout_matches_real_quantizer():
+    """The synthetic int8/int4 pack layouts must be EXACTLY what
+    ops/quant.quantize_llm_params emits — a drift means the bench measures
+    shapes the serving path never runs."""
+    from videollama2_tpu.models import llm as llm_lib
+    from videollama2_tpu.ops import quant
+
+    cfg = cfglib.tiny_llm()
+    params = llm_lib.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    abstract = jax.eval_shape(lambda: llm_lib.init_params(
+        jax.random.PRNGKey(0), cfg, jnp.float32))
+    for bits in (8, 4):
+        real = jax.eval_shape(
+            lambda: quant.quantize_llm_params(params, bits=bits))
+        synth = synthetic.quantized_llm_abstract(abstract, bits=bits)
+        got = jax.tree.map(lambda a: (tuple(a.shape), str(a.dtype)), synth)
+        want = jax.tree.map(lambda a: (tuple(a.shape), str(a.dtype)), real)
+        assert jax.tree.structure(got) == jax.tree.structure(want), bits
+        assert jax.tree.leaves(got) == jax.tree.leaves(want), bits
+
+
+def test_synthetic_int4_tree_generates():
+    """llm_bits=4 trees drive the engine end-to-end (BENCH_BITS=4 path:
+    W4A8 prefill via ops/layers.dense + int4 Pallas decode kernels)."""
+    cfg = cfglib.tiny_model()
+    params = synthetic.synthetic_model_params(
+        cfg, dtype=jnp.float32, quantize_llm=True, llm_bits=4)
+    layers = params["llm"]["layers"]
+    for name in ("q", "k", "v", "o", "gate", "up", "down"):
+        assert "kernel_q4" in layers[name] and "kernel" not in layers[name]
+        assert layers[name]["kernel_q4"]["q4"].dtype == jnp.int8
+
+    rng = np.random.default_rng(0)
+    T, H = cfg.num_frames, cfg.vision.image_size
+    frames = rng.standard_normal((1, T, H, H, 3)).astype(np.float32)
+    eng = Engine(cfg, params, dtype=jnp.float32, max_len=128, buckets=(64,),
+                 attn_impl="xla", decode_chunk=4)
+    out = eng.generate([[3, VIDEO_TOKEN_INDEX, 5]], frames=frames,
+                       gen=GenerationConfig(max_new_tokens=4),
+                       eos_token_id=-1)
+    assert len(out[0]) == 4

@@ -39,7 +39,12 @@ def _q4_like(entry):
 
 
 def quantized_llm_abstract(llm_abstract: dict, bits: int = 8) -> dict:
-    """Rewrite an LLM eval_shape subtree to its int8/int4-pack layout."""
+    """Rewrite an LLM eval_shape subtree to the EXACT layout
+    ops/quant.quantize_llm_params emits (pinned by
+    tests/test_synthetic.py): layer kernels to int8/int4 packs, lm_head
+    always int8 (bitsandbytes wraps every nn.Linear incl. lm_head,
+    reference model/__init__.py:59-69; include_head defaults True)."""
+    sds = jax.ShapeDtypeStruct
     pack = _q8_like if bits == 8 else _q4_like
     layers = dict(llm_abstract["layers"])
     for name in ("q", "k", "v", "o", "gate", "up", "down"):
@@ -47,7 +52,14 @@ def quantized_llm_abstract(llm_abstract: dict, bits: int = 8) -> dict:
         entry.update(pack(entry))
         del entry["kernel"]
         layers[name] = entry
-    return {**llm_abstract, "layers": layers}
+    out = {**llm_abstract, "layers": layers}
+    if "lm_head" in out and "kernel" in out["lm_head"]:
+        head = dict(out["lm_head"])
+        hk = head.pop("kernel")
+        head["kernel_q8"] = {"q": sds(hk.shape, jnp.int8),
+                             "scale": sds((1, hk.shape[-1]), jnp.float32)}
+        out["lm_head"] = head
+    return out
 
 
 def quantized_abstract(abstract: dict, quantize_llm: bool = True,
@@ -61,13 +73,10 @@ def quantized_abstract(abstract: dict, quantize_llm: bool = True,
         abstract["llm"] = quantized_llm_abstract(abstract["llm"],
                                                  bits=llm_bits)
         if quantize_embed:
-            # large-vocab families (Qwen2 152k): bf16 embed + lm_head alone
-            # are 2.2 GB — store both int8 (models/llm q8 paths)
-            hk = abstract["llm"]["lm_head"]["kernel"]
+            # large-vocab families (Qwen2 152k): the bf16 embed alone is
+            # 1.1 GB — store it int8 too (models/llm q8 gather path;
+            # lm_head is already int8 via quantized_llm_abstract)
             abstract["llm"] = dict(abstract["llm"])
-            abstract["llm"]["lm_head"] = {"kernel_q8": {
-                "q": sds(hk.shape, jnp.int8),
-                "scale": sds((1, hk.shape[-1]), jnp.float32)}}
             ew = abstract["llm"]["embed"]["weight"]
             abstract["llm"]["embed"] = {"weight_q8": {
                 "q": sds(ew.shape, jnp.int8),
