@@ -55,6 +55,8 @@ run profile_vit_q8 1200 env VIT_Q8=1 STAGES=vit python scripts/profile_component
 run bench_session 2400 python scripts/bench_session.py
 # training step throughput
 run profile_train 2400 python scripts/profile_train.py
+# 7B QLoRA recipe (frozen int4 base, r=128 adapters) — B=1 fits 16 GB
+run profile_train_7b_qlora 2400 env TRAIN_SIZE=7b-lora TRAIN_BITS=4 TRAIN_B=1 python scripts/profile_train.py
 # NOTE: the headline bench is deliberately NOT here — the driver runs it
 # at round end; run `python bench.py` manually while iterating.
 
