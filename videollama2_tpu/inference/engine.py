@@ -106,13 +106,24 @@ class Engine:
 
         def _cast(a):
             a = jnp.asarray(a)
-            if jnp.issubdtype(a.dtype, jnp.floating):
+            if jnp.issubdtype(a.dtype, jnp.floating) and a.dtype != dtype:
                 a = a.astype(dtype)
             if shard_fn is None:
                 # pin to the accelerator NOW: host-committed params would be
                 # re-transferred on every jit call (catastrophic over a
-                # remote-tunnel TPU)
-                a = jax.device_put(a, target)
+                # remote-tunnel TPU). Leaves ALREADY committed to the target
+                # are left alone — a per-leaf device_put is an RPC round
+                # trip on tunnel backends, and a ~300-leaf 7B tree was
+                # measured costing minutes of engine build under load.
+                # resident-on-target is enough: jit leaves an uncommitted
+                # default-device array in place, and jit outputs (the
+                # on-device synthetic fills) are uncommitted
+                try:
+                    placed = a.devices() == {target}
+                except AttributeError:
+                    placed = False
+                if not placed:
+                    a = jax.device_put(a, target)
             return a
         self.params = jax.tree.map(_cast, params)
         if shard_fn is not None:
