@@ -178,3 +178,33 @@ def test_decode_program_cached(tiny):
     a = eng._get_decode(False, 0.0, 0.9, 64)
     assert eng._get_decode(False, 0.0, 0.9, 64) is a
     assert eng._get_decode(False, 0.0, 0.9, 32) is not a
+
+
+def test_engine_build_skips_resident_leaves(monkeypatch):
+    """Params already resident on the target device must NOT round-trip
+    through device_put — on tunnel backends each per-leaf call is an RPC
+    and a 7B tree was measured costing minutes of engine build (engine.py
+    _cast). Device-resident trees (the on-device synthetic-fill path)
+    build with zero copies; host numpy trees still get pinned."""
+    from videollama2_tpu.inference import engine as engine_mod
+
+    cfg = cfglib.tiny_model()
+    params = vl2.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    # jnp arrays on the default device — what materialize_fills produces
+    resident = jax.tree.map(jnp.asarray, params)
+
+    calls = []
+    real_put = jax.device_put
+
+    def counting_put(x, *a, **k):
+        calls.append(1)
+        return real_put(x, *a, **k)
+
+    monkeypatch.setattr(engine_mod.jax, "device_put", counting_put)
+    eng = Engine(cfg, resident, dtype=jnp.float32, max_len=64,
+                 buckets=(32,), attn_impl="xla", decode_chunk=4)
+    assert not calls, f"{len(calls)} device_put calls for resident params"
+
+    out = eng.generate([[3, 5, 7]], gen=GenerationConfig(max_new_tokens=4),
+                       eos_token_id=-1)
+    assert len(out[0]) == 4
