@@ -57,7 +57,12 @@ def _run(quantize_llm: bool):
     # single-core) compile; subsequent bench invocations start hot
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # persist even sub-second programs: the engine-build concats / scale
+    # casts and warmup helpers are dozens of tiny compiles that used to
+    # miss EVERY run (min_compile_time 1.0 never wrote them — the
+    # BENCH_r04 "hit: 0, miss: 15" mystery was exactly these, plus hits
+    # logging at DEBUG where the counter couldn't see them)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     try:  # log WHY a compile missed the persistent cache (warmup diagnosis)
         jax.config.update("jax_explain_cache_misses", True)
     except Exception:
@@ -90,7 +95,13 @@ def _run(quantize_llm: bool):
                     f.write(msg[:300] + "\n")
             except OSError:
                 pass
-    _logging.getLogger("jax._src.compiler").addHandler(_CacheLogHandler())
+    _compiler_logger = _logging.getLogger("jax._src.compiler")
+    _compiler_logger.addHandler(_CacheLogHandler())
+    # cache HITS log at DEBUG (jax only raises them to WARNING under
+    # jax_log_compiles); open the logger to DEBUG so the handler counts
+    # them — stderr stays clean because the root lastResort handler still
+    # filters below WARNING
+    _compiler_logger.setLevel(_logging.DEBUG)
 
     class _TraceMissToFile(_logging.Filter):
         # jax_explain_cache_misses also makes partial_eval WARN on every

@@ -139,6 +139,8 @@ def run_decode(jax, jnp, cfg, lparams, B):
     valid_len = jnp.full((B,), bucket - 100)
 
     def chunk(p, tok, cache, valid_len):
+        from videollama2_tpu.ops import layers as layers_ops
+
         def step(carry, xs):
             tok, cache = carry
             te = llm_lib.embed_tokens(p, tok[:, None], dtype=jnp.bfloat16)
@@ -147,8 +149,9 @@ def run_decode(jax, jnp, cfg, lparams, B):
             nxt = jnp.argmax(logits, -1).astype(jnp.int32)
             return (nxt, cache), None
 
-        (tok, cache), _ = jax.lax.scan(
-            step, (tok, cache), jnp.arange(32, dtype=jnp.int32))
+        with layers_ops.quant_inference(True):
+            (tok, cache), _ = jax.lax.scan(
+                step, (tok, cache), jnp.arange(32, dtype=jnp.int32))
         return tok, cache
 
     fn = jax.jit(chunk, donate_argnums=(2,))

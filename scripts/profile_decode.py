@@ -42,6 +42,8 @@ def main():
     cache = llm_lib.init_cache(cfg, B, M, jnp.bfloat16)
     valid_len = jnp.full((B,), bucket - 100)
 
+    from videollama2_tpu.ops import layers as layers_ops
+
     def chunk(p, tok, cache, valid_len):
         def step(carry, xs):
             tok, cache = carry
@@ -51,8 +53,11 @@ def main():
             nxt = jnp.argmax(logits, -1).astype(jnp.int32)
             return (nxt, cache), None
 
-        (tok, cache), _ = jax.lax.scan(
-            step, (tok, cache), jnp.arange(32, dtype=jnp.int32))
+        # inference context: q8 lm_head keeps its W8A8 fast path (dense()
+        # gates activation-quantizing kernels on this, ops/layers)
+        with layers_ops.quant_inference(True):
+            (tok, cache), _ = jax.lax.scan(
+                step, (tok, cache), jnp.arange(32, dtype=jnp.int32))
         return tok, cache
 
     fn = jax.jit(chunk, donate_argnums=(2,))

@@ -323,3 +323,38 @@ def test_quantized_vision_tower_close():
     with layers_ops.w8a8_prefill(True):
         got2 = jvit.features(qparams, cfg, x)
     assert np.isfinite(np.asarray(got2)).all()
+
+
+def test_small_row_quant_path_gated_on_inference_context():
+    """rows<=64 matmuls on a quantized base must stay DIFFERENTIABLE
+    outside ops.layers.quant_inference: the W8A8/W4A8 activation round()
+    has zero gradient, so a small-batch QLoRA training forward (B*S<=64)
+    hitting it would silently zero dgrad through the frozen base (ADVICE
+    r4). Inside the context (engine decode/verify jits) the fast path is
+    taken; outside, the dequant path's dgrad is exact and nonzero."""
+    from videollama2_tpu.ops import layers as layers_ops
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((32, 16)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)  # rows=4
+    for pack in (quant.quantize_int8(w, axis=-2),
+                 None):
+        p = ({"kernel_q8": pack} if pack is not None
+             else {"kernel_q4": quant.quantize_int4(w, axis=-2)})
+
+        orig = layers_ops._on_tpu
+        layers_ops._on_tpu = lambda: True
+        try:
+            # training trace (no context): dgrad flows through the base
+            g = jax.grad(lambda x: layers_ops.dense(x, p).sum())(x)
+            assert np.abs(np.asarray(g)).max() > 0, "dgrad zeroed"
+            # the fast path engages only inside the inference context;
+            # it computes the same matmul up to activation-quant noise
+            y_ref = layers_ops.dense(x, p)
+            with layers_ops.quant_inference(True):
+                y_fast = layers_ops.dense(x, p)
+            err = np.abs(np.asarray(y_fast) - np.asarray(y_ref)).mean()
+            scale = np.abs(np.asarray(y_ref)).mean() + 1e-9
+            assert err / scale < 0.05, (err, scale)
+        finally:
+            layers_ops._on_tpu = orig

@@ -117,7 +117,13 @@ class Engine:
                 # measured costing minutes of engine build under load.
                 # resident-on-target is enough: jit leaves an uncommitted
                 # default-device array in place, and jit outputs (the
-                # on-device synthetic fills) are uncommitted
+                # on-device synthetic fills) are uncommitted. The hazard —
+                # an UNCOMMITTED leaf follows jax.default_device, so a
+                # generate() under `with jax.default_device(cpu)` would
+                # silently migrate the tree off-chip — is guarded at the
+                # call sites instead (_guard_default_device), because
+                # committing here would re-introduce the per-leaf
+                # device_put RPCs this skip exists to avoid
                 try:
                     placed = a.devices() == {target}
                 except AttributeError:
@@ -136,10 +142,26 @@ class Engine:
             from ..ops import quant as quant_lib
             self.params = dict(self.params,
                                llm=quant_lib.fuse_qkv(self.params["llm"]))
+        self._target_device = target
         self._prefill_cache = {}
         self._verify_cache = {}
         self._decode_cache = {}
         self._encode_fn = None
+
+    def _guard_default_device(self):
+        """Engine params include UNCOMMITTED device-resident leaves (the
+        zero-copy build path); those follow jax.default_device at jit
+        boundaries, so running generate() inside a `with
+        jax.default_device(other)` context would silently migrate the whole
+        param tree off the accelerator — a catastrophic re-transfer over a
+        tunnel backend. Fail loudly instead."""
+        dd = jax.config.jax_default_device
+        if dd is not None and dd != self._target_device:
+            raise RuntimeError(
+                f"Engine methods must not run under jax.default_device("
+                f"{dd}): engine params are pinned to {self._target_device} "
+                "and uncommitted leaves would migrate. Exit the "
+                "default_device context before calling generate().")
 
     # -- compiled pieces ---------------------------------------------------
 
@@ -152,11 +174,12 @@ class Engine:
             w8a8 = self.w8a8_prefill
 
             def jit_p(donate):
-                # the w8a8 context must be active while jit TRACES the
-                # body, so it wraps inside the jitted function
+                # the w8a8/quant-inference contexts must be active while
+                # jit TRACES the body, so they wrap inside the jitted fn
                 def deco(fn):
                     def inner(*args):
-                        with layers_ops.w8a8_prefill(w8a8):
+                        with layers_ops.quant_inference(True), \
+                                layers_ops.w8a8_prefill(w8a8):
                             return fn(*args)
                     return jax.jit(inner, donate_argnums=donate)
                 return deco
@@ -273,6 +296,8 @@ class Engine:
         cfg = self.cfg
         chunk = self.decode_chunk
 
+        from ..ops import layers as layers_ops
+
         @functools.partial(jax.jit, donate_argnums=(2,),
                            static_argnames=("num_steps",))
         def decode_chunk_fn(params, tokens, cache, valid_len, step0, done,
@@ -294,9 +319,10 @@ class Engine:
                 new_done = done | (nxt == eos_id)
                 return (nxt, cache, step + 1, new_done, rng), nxt
 
-            (tokens, cache, _, done, rng), out = jax.lax.scan(
-                step_fn, (tokens, cache, step0, done, rng), None,
-                length=num_steps)
+            with layers_ops.quant_inference(True):
+                (tokens, cache, _, done, rng), out = jax.lax.scan(
+                    step_fn, (tokens, cache, step0, done, rng), None,
+                    length=num_steps)
             return out.T, tokens, cache, done, rng
 
         self._decode_cache[key] = decode_chunk_fn
@@ -311,14 +337,17 @@ class Engine:
         if key not in self._verify_cache:
             cfg = self.cfg
 
+            from ..ops import layers as layers_ops
+
             @functools.partial(jax.jit, donate_argnums=(2,))
             def verify_fn(params, tokens, cache, valid_len, step0):
-                te = llm_lib.embed_tokens(params["llm"], tokens,
-                                          dtype=self.dtype)
-                logits, cache = llm_lib.decode_verify(
-                    params["llm"], cfg.llm, te, cache, valid_len, bucket,
-                    step0)
-                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                with layers_ops.quant_inference(True):
+                    te = llm_lib.embed_tokens(params["llm"], tokens,
+                                              dtype=self.dtype)
+                    logits, cache = llm_lib.decode_verify(
+                        params["llm"], cfg.llm, te, cache, valid_len,
+                        bucket, step0)
+                    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 return greedy, logits[:, -1], cache
 
             self._verify_cache[key] = verify_fn
@@ -480,6 +509,7 @@ class Engine:
         turns via generate_continue.
         """
         from ..constants import AUDIO_TOKEN_INDEX
+        self._guard_default_device()
         cfg = self.cfg
         if return_session and len(batch_input_ids) != 1:
             raise ValueError("sessions are batch-1 (multi-turn chat)")
@@ -642,6 +672,7 @@ class Engine:
 
         Returns (new token ids, updated Session).
         """
+        self._guard_default_device()
         cfg = self.cfg
         eos = (eos_token_id if eos_token_id is not None
                else cfg.llm.eos_token_id)

@@ -130,7 +130,8 @@ def dense(x: jax.Array, p: dict) -> jax.Array:
         rows = 1
         for s in x.shape[:-1]:
             rows *= s
-        if _on_tpu() and (rows <= 64 or _w8a8_large_rows_enabled()):
+        if _on_tpu() and ((rows <= 64 and _quant_inference_enabled())
+                          or _w8a8_large_rows_enabled()):
             # W4A8: nibbles unpack LOSSLESSLY to int8 (values in [-7, 7],
             # per-output-channel scale unchanged), so the serving prefill
             # rides the same s8xs8 MXU path as int8 packs — the int8
@@ -147,7 +148,8 @@ def dense(x: jax.Array, p: dict) -> jax.Array:
         rows = 1
         for s in x.shape[:-1]:
             rows *= s
-        if _on_tpu() and (rows <= 64 or _w8a8_large_rows_enabled()):
+        if _on_tpu() and ((rows <= 64 and _quant_inference_enabled())
+                          or _w8a8_large_rows_enabled()):
             y = dense_w8a8(x, pack)
         else:
             # training (grads must flow through the frozen base — the
@@ -166,10 +168,36 @@ def dense(x: jax.Array, p: dict) -> jax.Array:
 
 
 _W8A8_LARGE_ROWS = False
+_QUANT_INFERENCE = False
 
 
 def _w8a8_large_rows_enabled() -> bool:
     return _W8A8_LARGE_ROWS
+
+
+def _quant_inference_enabled() -> bool:
+    return _QUANT_INFERENCE
+
+
+@contextmanager
+def quant_inference(enabled: bool = True):
+    """Trace-time gate for the SMALL-ROW (decode-shaped) W8A8/W4A8 path.
+
+    The activation round() in dense_w8a8/dense_w4a8 has zero gradient, so a
+    training forward that reached those kernels would silently zero dgrad
+    through the frozen quantized base (small-batch QLoRA at B*S <= 64 used
+    to hit the old row-count heuristic unconditionally). dense() now takes
+    the rows<=64 fast path only inside this context; the Engine wraps all
+    its inference jits (prefill/decode/verify) in it, while training traces
+    stay on the dequantize path whose gradient is exact. The large-row
+    `w8a8_prefill` context remains its own (inference-only) switch."""
+    global _QUANT_INFERENCE
+    prev = _QUANT_INFERENCE
+    _QUANT_INFERENCE = enabled
+    try:
+        yield
+    finally:
+        _QUANT_INFERENCE = prev
 
 
 @contextmanager

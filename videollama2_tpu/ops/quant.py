@@ -89,11 +89,16 @@ def quantize_llm_params(llm_params: Dict, bits: int = 8,
                         include_embed: bool = False) -> Dict:
     """Quantize the big stacked-layer kernels; norms stay fp.
 
-    Matches the reference's BnB coverage: bitsandbytes replaces every
-    nn.Linear incl. lm_head (model/__init__.py:59-69) but not nn.Embedding
-    — hence include_head defaults on and include_embed off (embed int8 is
-    an extra HBM lever for 150k-vocab models; rows are gathered then
-    row-scaled, see models/llm.embed_tokens). int4 packs store only
+    Coverage vs the reference: the reference loads through HF transformers'
+    bitsandbytes integration (model/__init__.py:59-69), which EXCLUDES
+    lm_head by default (get_keys_to_not_convert keeps the output projection
+    in compute dtype). include_head=True therefore quantizes MORE than the
+    reference — a deliberate HBM/latency delta (−0.2 ms/tok, −262 MB at 7B;
+    documented in PARITY.md and measured by scripts/quant_accuracy.py); pass
+    include_head=False for strict reference parity. nn.Embedding is never
+    BnB-wrapped — include_embed off by default (embed int8 is an extra HBM
+    lever for 150k-vocab models; rows are gathered then row-scaled, see
+    models/llm.embed_tokens). int4 packs store only
     {q4, scale} (packed axis is always -2) so the tree scans uniformly
     over the layer dim; lm_head/embed always use int8 (they are gather/
     single-matmul consumers, not the folded-nibble decode kernels)."""

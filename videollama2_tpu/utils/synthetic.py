@@ -42,8 +42,9 @@ def quantized_llm_abstract(llm_abstract: dict, bits: int = 8) -> dict:
     """Rewrite an LLM eval_shape subtree to the EXACT layout
     ops/quant.quantize_llm_params emits (pinned by
     tests/test_synthetic.py): layer kernels to int8/int4 packs, lm_head
-    always int8 (bitsandbytes wraps every nn.Linear incl. lm_head,
-    reference model/__init__.py:59-69; include_head defaults True)."""
+    int8 (include_head defaults True — a deliberate delta vs the
+    reference's HF-BnB load, which keeps lm_head in compute dtype via
+    get_keys_to_not_convert; see quantize_llm_params / PARITY.md)."""
     sds = jax.ShapeDtypeStruct
     pack = _q8_like if bits == 8 else _q4_like
     layers = dict(llm_abstract["layers"])
