@@ -186,6 +186,13 @@ def _run(quantize_llm: bool):
             quantize_embed=(model == "qwen2"), llm_bits=bench_bits)
         wcfg = f"int{bench_bits}-weights"
 
+    # BENCH_KV_BITS=8: int8 KV cache (models/llm.init_cache kv_bits=8) —
+    # halves the decode-attention HBM reads AND the cache footprint, which
+    # is what makes BENCH_BATCH=16 fit a 16 GB chip at 7B int8 weights
+    kv_bits = int(os.environ.get("BENCH_KV_BITS", "16")) if full_path else 16
+    if kv_bits == 8:
+        wcfg += "+kv8"
+
     t0 = time.time()
     params = synthetic.materialize_fills(abstract)
     t_fill = time.time() - t0
@@ -212,7 +219,8 @@ def _run(quantize_llm: bool):
                  max_len=((tight_bucket + DECODE_TOKENS) if full_path
                           else 128),
                  buckets=(tight_bucket,) if full_path else (64,),
-                 decode_chunk=DECODE_TOKENS)
+                 decode_chunk=DECODE_TOKENS,
+                 kv_bits=kv_bits)
     # params are already device-resident, so the constructor's device_put
     # is a no-op; the residue here is the fp32->bf16 scale casts + qkv
     # fusion concats, all on-device. Block so nothing leaks into "compile".
@@ -321,6 +329,7 @@ def _run(quantize_llm: bool):
         # comparison per stage; slot a measured A100 in alongside later
         "breakdown": {
             "weights": wcfg, "model": model, "batch": BATCH, "frames": T,
+            "kv_bits": kv_bits,
             "params_fill_on_device_s": round(t_fill, 3),
             "engine_build_s": round(t_params, 3),
             "warmup_compile_s": round(t_warmup, 3),

@@ -37,9 +37,14 @@ def main():
         from videollama2_tpu.ops import quant as quant_lib
         lparams = quant_lib.fuse_qkv(lparams)
 
+    # KV_BITS=8: int8 KV cache (halved attention reads). The default
+    # MAXLEN=2080 has no 128-multiple divisor, so the kernel's quantized
+    # block rule falls back to a 2048-row pipelined block only if M allows;
+    # pass MAXLEN=2048 or 2560 for the engine-shaped (256-aligned) case.
+    kv_bits = int(os.environ.get("KV_BITS", "16"))
     M = int(os.environ.get("MAXLEN", "2080"))
     bucket = M - 32
-    cache = llm_lib.init_cache(cfg, B, M, jnp.bfloat16)
+    cache = llm_lib.init_cache(cfg, B, M, jnp.bfloat16, kv_bits=kv_bits)
     valid_len = jnp.full((B,), bucket - 100)
 
     from videollama2_tpu.ops import layers as layers_ops

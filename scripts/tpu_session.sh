@@ -39,25 +39,25 @@ run() {
   echo "$(date +%T) DONE $name rc=$?" >> /tmp/tpu_queue/status.log
 }
 
-# decode floor first (shortest, most load-sensitive)
-run profile_decode 1200 python scripts/profile_decode.py
-# int4 folded-nibble decode (beats int8 since the offset-binary unpack)
-run profile_decode_int4 1200 env BITS=4 python scripts/profile_decode.py
-# spec-decode ceiling at 7B int8
-run bench_speculative 2400 python scripts/bench_speculative.py
-# component stages (encode/prefill/decode attribution)
-run profile_components 2400 python scripts/profile_components.py
-# decode isolated vs after-prefill ordering (the 14.7 vs 22.8 ms gap)
-run profile_decode_isolated 1200 env STAGES=decode python scripts/profile_components.py
-# int8 tower + W8A8 encode (the bench's load_8bit-parity config)
-run profile_vit_q8 1200 env VIT_Q8=1 STAGES=vit python scripts/profile_components.py
-# multi-turn prefix-cache latency
-run bench_session 2400 python scripts/bench_session.py
-# training step throughput
+# ---- round 5 queue ----
+# int8 KV cache decode floor (VERDICT r5 #1 gate: <=12.2 ms/tok int8/B=8).
+# MAXLEN=2048 so the quantized kernel gets a 512-row pipelined block; the
+# kv16 run at the same MAXLEN is the same-weather baseline.
+run profile_decode_kv8 1200 env KV_BITS=8 MAXLEN=2048 python scripts/profile_decode.py
+run profile_decode_kv16 1200 env MAXLEN=2048 python scripts/profile_decode.py
+# int4 weights + int8 KV (gate: <=9.7 ms/tok)
+run profile_decode_int4_kv8 1200 env BITS=4 KV_BITS=8 MAXLEN=2048 python scripts/profile_decode.py
+# B=16 decode over the halved cache (the headline lever)
+run profile_decode_kv8_b16 1200 env KV_BITS=8 MAXLEN=2048 B=16 python scripts/profile_decode.py
+# headline bench candidates: B=16 + kv8, and B=8 + kv8 for comparison
+run bench_b16_kv8 2400 env BENCH_BATCH=16 BENCH_KV_BITS=8 python bench.py
+run bench_b8_kv8 2400 env BENCH_KV_BITS=8 python bench.py
+# quiet re-runs (VERDICT r5 #6): int4 and qwen2 headline configs
+run bench_int4 2400 env BENCH_BITS=4 python bench.py
+run bench_qwen2 2400 env BENCH_MODEL=qwen2 python bench.py
+# training step attribution (VERDICT r5 #3)
 run profile_train 2400 python scripts/profile_train.py
-# 7B QLoRA recipe (frozen int4 base, r=128 adapters) — B=1 fits 16 GB
-run profile_train_7b_qlora 2400 env TRAIN_SIZE=7b-lora TRAIN_BITS=4 TRAIN_B=1 python scripts/profile_train.py
-# NOTE: the headline bench is deliberately NOT here — the driver runs it
-# at round end; run `python bench.py` manually while iterating.
+# NOTE: the headline bench default config is still run by the driver at
+# round end; run `python bench.py` manually while iterating.
 
 echo "$(date +%T) queue complete" >> /tmp/tpu_queue/status.log

@@ -83,7 +83,8 @@ class Engine:
                  attn_impl: str = "auto", decode_chunk: int = DECODE_CHUNK,
                  shard_fn: Optional[Callable] = None,
                  w8a8_prefill: bool = True,
-                 fuse_qkv: bool = True):
+                 fuse_qkv: bool = True,
+                 kv_bits: int = 16):
         if cfg.llm.is_moe and cfg.llm.moe_dispatch == "auto":
             # Inference defaults to exact dense dispatch: the capacity-based
             # gather drops over-capacity tokens under router imbalance (a
@@ -95,6 +96,19 @@ class Engine:
                 cfg, llm=dataclasses.replace(cfg.llm, moe_dispatch="dense"))
         self.cfg = cfg
         self.dtype = dtype
+        if kv_bits not in (8, 16):
+            raise ValueError(f"kv_bits must be 8 or 16, got {kv_bits}")
+        self.kv_bits = kv_bits
+        if kv_bits == 8:
+            # int8 KV cache: halves the decode-attention HBM reads and the
+            # cache footprint (the B=16 / M=4k headroom lever). Cache rows
+            # quantize per (row, kv-head) with models/llm._quantize_kv_rows
+            # everywhere (prefill, decode, verify), so speculative/session
+            # decoding stays token-identical to the plain quantized loop.
+            # max_len rounds up to a multiple of 256 so the Pallas decode
+            # kernel's lane-layout scale blocks always have a 128-aligned
+            # pipelined block size (ops/decode_attention block rule).
+            max_len = -(-max_len // 256) * 256
         self.max_len = max_len
         self.buckets = tuple(b for b in buckets if b <= max_len)
         self.attn_impl = attn_impl
@@ -542,7 +556,8 @@ class Engine:
         plan = splice_lib.plan_batch(batch_input_ids, tokens_per_modal,
                                      bucket)
 
-        cache = llm_lib.init_cache(cfg.llm, B, self.max_len, self.dtype)
+        cache = llm_lib.init_cache(cfg.llm, B, self.max_len, self.dtype,
+                                   kv_bits=self.kv_bits)
         prefill = self._get_prefill(bucket, B, mode)
         plan_args = (jnp.asarray(plan.text_ids), jnp.asarray(plan.is_visual),
                      jnp.asarray(plan.vis_index),

@@ -27,7 +27,7 @@ Param tree layout (kernels are [in, out], i.e. transposed torch Linear):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,20 +46,69 @@ class KVCache(NamedTuple):
     128-lane-aligned slices. Keeping the cache 5-D and reshaping at the
     kernel call instead costs a full-cache physical relayout per decode
     step (XLA's tiled layouts make merging trailing axes non-free: measured
-    +7 ms/token at 7B/B=8/M=2080 — half the decode budget)."""
+    +7 ms/token at 7B/B=8/M=2080 — half the decode budget).
+
+    int8 KV mode (init_cache(kv_bits=8)): k/v hold int8 rows and
+    k_scale/v_scale hold per-(row, kv-head) dynamic scales, stored
+    TRANSPOSED as [L, B, Hkv, M] so the Pallas decode kernel DMAs a
+    [Hkv, bm] scale block whose lanes run along the cache rows. Every
+    writer quantizes with the same _quantize_kv_rows (round-to-nearest-even
+    symmetric int8), so plain-step, verify and prefill writes are
+    bit-identical given the same values — the invariant that keeps
+    speculative/session decoding token-identical to the plain loop under
+    quantization. Halves the decode attention's HBM reads and the cache
+    footprint (the round-5 B=16 headline lever; reference anchor: the HF
+    KV loop the reference delegates to,
+    videollama2/model/videollama2_mistral.py:110-144)."""
     k: jax.Array
     v: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
 
     @property
     def max_len(self) -> int:
         return self.k.shape[2]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
 
 def init_cache(cfg: LLMConfig, batch: int, max_len: int,
-               dtype=jnp.bfloat16) -> KVCache:
+               dtype=jnp.bfloat16, kv_bits: int = 16) -> KVCache:
     shape = (cfg.num_layers, batch, max_len,
              cfg.num_kv_heads * cfg.head_dim)
+    if kv_bits == 8:
+        sshape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len)
+        return KVCache(jnp.zeros(shape, jnp.int8),
+                       jnp.zeros(shape, jnp.int8),
+                       jnp.zeros(sshape, jnp.float32),
+                       jnp.zeros(sshape, jnp.float32))
+    assert kv_bits == 16, kv_bits
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def _quantize_kv_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-(row, kv-head) int8 quantization of new cache rows.
+
+    x: [..., hd] float. Returns (q int8 [..., hd], scale f32 [...]).
+    The SINGLE quantizer used by prefill, decode_step and decode_verify —
+    identical rounding everywhere is what keeps speculative verification
+    token-identical to plain decoding over a quantized cache."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def _dequant_kv(ck: jax.Array, cs: jax.Array, dtype) -> jax.Array:
+    """[B, M, Hkv*hd] int8 + [B, Hkv, M] scales -> [B, M, Hkv, hd] dtype."""
+    B, M, KH = ck.shape
+    K = cs.shape[1]
+    hd = KH // K
+    x = ck.reshape(B, M, K, hd).astype(jnp.float32)
+    return (x * cs.transpose(0, 2, 1)[..., None]).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -324,16 +373,34 @@ def prefill(params: dict, cfg: LLMConfig, embeds: jax.Array,
                              attn_impl=attn_impl)
     S = embeds.shape[1]
     L, B = k.shape[0], k.shape[1]
-    k = k.reshape(L, B, S, -1)             # merge [Hkv, hd] (cache layout)
-    v = v.reshape(L, B, S, -1)
-    new_k = jax.lax.dynamic_update_slice(
-        cache.k, k.astype(cache.k.dtype), (0, 0, 0, 0))
-    new_v = jax.lax.dynamic_update_slice(
-        cache.v, v.astype(cache.v.dtype), (0, 0, 0, 0))
+    if cache.quantized:
+        # prompt rows quantize with the shared row quantizer; attention
+        # DURING prefill used the exact bf16 k/v (computed above), only
+        # the stored cache rows are int8 — decode then reads every prompt
+        # row dequantized
+        kq, ks = _quantize_kv_rows(k)          # [L,B,S,Hkv,hd], [L,B,S,Hkv]
+        vq, vs = _quantize_kv_rows(v)
+        new_k = jax.lax.dynamic_update_slice(
+            cache.k, kq.reshape(L, B, S, -1), (0, 0, 0, 0))
+        new_v = jax.lax.dynamic_update_slice(
+            cache.v, vq.reshape(L, B, S, -1), (0, 0, 0, 0))
+        new_ks = jax.lax.dynamic_update_slice(
+            cache.k_scale, ks.transpose(0, 1, 3, 2), (0, 0, 0, 0))
+        new_vs = jax.lax.dynamic_update_slice(
+            cache.v_scale, vs.transpose(0, 1, 3, 2), (0, 0, 0, 0))
+        cache = KVCache(new_k, new_v, new_ks, new_vs)
+    else:
+        k = k.reshape(L, B, S, -1)         # merge [Hkv, hd] (cache layout)
+        v = v.reshape(L, B, S, -1)
+        new_k = jax.lax.dynamic_update_slice(
+            cache.k, k.astype(cache.k.dtype), (0, 0, 0, 0))
+        new_v = jax.lax.dynamic_update_slice(
+            cache.v, v.astype(cache.v.dtype), (0, 0, 0, 0))
+        cache = KVCache(new_k, new_v)
     # gather hidden state of the last *valid* token per sample
     idx = jnp.clip(valid_len - 1, 0, S - 1)
     last = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)[:, 0]
-    return last, KVCache(new_k, new_v)
+    return last, cache
 
 
 def decode_step(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
@@ -383,8 +450,13 @@ def decode_step(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
                                    cos, sin, write_pos, valid_len,
                                    prompt_len, bits=bits)
 
+    quantized = cache.quantized
+
     def body(x, scan_in):
-        lp, ck, cv = scan_in
+        if quantized:
+            lp, ck, cv, cks, cvs = scan_in
+        else:
+            lp, ck, cv = scan_in
         h = rms_norm(x, lp["attn_norm"]["scale"], cfg.rms_norm_eps)
         H, K, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
         M_ = ck.shape[1]
@@ -398,13 +470,33 @@ def decode_step(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
         k = k.reshape(B, 1, K, hd)
         v = v.reshape(B, 1, K, hd)
         q, k = apply_rope(q, k, cos, sin)
-        ck = jax.lax.dynamic_update_slice(
-            ck, k.reshape(B, 1, K * hd).astype(ck.dtype), (0, write_pos, 0))
-        cv = jax.lax.dynamic_update_slice(
-            cv, v.reshape(B, 1, K * hd).astype(cv.dtype), (0, write_pos, 0))
-        out = attn_ops.mha_xla(q, ck.reshape(B, M_, K, hd).astype(q.dtype),
-                               cv.reshape(B, M_, K, hd).astype(q.dtype),
-                               mask=mask)
+        if quantized:
+            # write the row quantized; attention reads the cache back
+            # DEQUANTIZED (incl. this token's own row — the same values a
+            # later verify pass will see, keeping speculative greedy
+            # token-identical)
+            kq, ks = _quantize_kv_rows(k[:, 0])        # [B,K,hd], [B,K]
+            vq, vs = _quantize_kv_rows(v[:, 0])
+            ck = jax.lax.dynamic_update_slice(
+                ck, kq.reshape(B, 1, K * hd), (0, write_pos, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, vq.reshape(B, 1, K * hd), (0, write_pos, 0))
+            cks = jax.lax.dynamic_update_slice(
+                cks, ks[:, :, None], (0, 0, write_pos))
+            cvs = jax.lax.dynamic_update_slice(
+                cvs, vs[:, :, None], (0, 0, write_pos))
+            k_read = _dequant_kv(ck, cks, q.dtype)
+            v_read = _dequant_kv(cv, cvs, q.dtype)
+        else:
+            ck = jax.lax.dynamic_update_slice(
+                ck, k.reshape(B, 1, K * hd).astype(ck.dtype),
+                (0, write_pos, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, v.reshape(B, 1, K * hd).astype(cv.dtype),
+                (0, write_pos, 0))
+            k_read = ck.reshape(B, M_, K, hd).astype(q.dtype)
+            v_read = cv.reshape(B, M_, K, hd).astype(q.dtype)
+        out = attn_ops.mha_xla(q, k_read, v_read, mask=mask)
         out = dense(out.reshape(B, 1, H * hd), lp["o"])
         x = x + out
         h = rms_norm(x, lp["mlp_norm"]["scale"], cfg.rms_norm_eps)
@@ -414,13 +506,22 @@ def decode_step(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
             g = jax.nn.silu(dense(h, lp["gate"]))
             u = dense(h, lp["up"])
             ffn_out = dense(g * u, lp["down"])
+        if quantized:
+            return x + ffn_out, (ck, cv, cks, cvs)
         return x + ffn_out, (ck, cv)
 
-    x, (new_k, new_v) = jax.lax.scan(
-        body, token_embeds, (params["layers"], cache.k, cache.v))
+    if quantized:
+        x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
+            body, token_embeds, (params["layers"], cache.k, cache.v,
+                                 cache.k_scale, cache.v_scale))
+        new_cache = KVCache(new_k, new_v, new_ks, new_vs)
+    else:
+        x, (new_k, new_v) = jax.lax.scan(
+            body, token_embeds, (params["layers"], cache.k, cache.v))
+        new_cache = KVCache(new_k, new_v)
     x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
     logits = lm_logits(params, cfg, x[:, 0])
-    return logits, KVCache(new_k, new_v)
+    return logits, new_cache
 
 
 def decode_verify(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
@@ -472,9 +573,13 @@ def decode_verify(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
     mask = mask[:, None]                                        # [B,1,K,M]
 
     H, Kh, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    quantized = cache.quantized
 
     def body(x, scan_in):
-        lp, ck, cv = scan_in
+        if quantized:
+            lp, ck, cv, cks, cvs = scan_in
+        else:
+            lp, ck, cv = scan_in
         h = rms_norm(x, lp["attn_norm"]["scale"], cfg.rms_norm_eps)
         M_ = ck.shape[1]
         if "qkv" in lp:
@@ -492,13 +597,32 @@ def decode_verify(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
         # lowers to a scatter; K*B rows, negligible at decode scale)
         def _write(c, rows, wp):
             return jax.lax.dynamic_update_slice(c, rows, (wp, 0))
-        ck = jax.vmap(_write)(
-            ck, k.reshape(B, K, Kh * hd).astype(ck.dtype), write_pos)
-        cv = jax.vmap(_write)(
-            cv, v.reshape(B, K, Kh * hd).astype(cv.dtype), write_pos)
-        out = attn_ops.mha_xla(q, ck.reshape(B, M_, Kh, hd).astype(q.dtype),
-                               cv.reshape(B, M_, Kh, hd).astype(q.dtype),
-                               mask=mask)
+        if quantized:
+            # same shared quantizer as decode_step/prefill: the rows a
+            # verify pass writes are bit-identical to the rows a plain
+            # decode would have written, and the block's intra-draft
+            # attention reads them back DEQUANTIZED (incl. each slot's own
+            # row) — exactly what a sequential quantized decode sees
+            kq, ksc = _quantize_kv_rows(k)             # [B,K,Kh,hd],[B,K,Kh]
+            vq, vsc = _quantize_kv_rows(v)
+            ck = jax.vmap(_write)(ck, kq.reshape(B, K, Kh * hd), write_pos)
+            cv = jax.vmap(_write)(cv, vq.reshape(B, K, Kh * hd), write_pos)
+
+            def _write_s(c, scs, wp):
+                # scale layout [Kh, M]: K new columns land at lane wp
+                return jax.lax.dynamic_update_slice(c, scs, (0, wp))
+            cks = jax.vmap(_write_s)(cks, ksc.transpose(0, 2, 1), write_pos)
+            cvs = jax.vmap(_write_s)(cvs, vsc.transpose(0, 2, 1), write_pos)
+            k_read = _dequant_kv(ck, cks, q.dtype)
+            v_read = _dequant_kv(cv, cvs, q.dtype)
+        else:
+            ck = jax.vmap(_write)(
+                ck, k.reshape(B, K, Kh * hd).astype(ck.dtype), write_pos)
+            cv = jax.vmap(_write)(
+                cv, v.reshape(B, K, Kh * hd).astype(cv.dtype), write_pos)
+            k_read = ck.reshape(B, M_, Kh, hd).astype(q.dtype)
+            v_read = cv.reshape(B, M_, Kh, hd).astype(q.dtype)
+        out = attn_ops.mha_xla(q, k_read, v_read, mask=mask)
         out = dense(out.reshape(B, K, H * hd), lp["o"])
         x = x + out
         h = rms_norm(x, lp["mlp_norm"]["scale"], cfg.rms_norm_eps)
@@ -508,13 +632,22 @@ def decode_verify(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
             g = jax.nn.silu(dense(h, lp["gate"]))
             u = dense(h, lp["up"])
             ffn_out = dense(g * u, lp["down"])
+        if quantized:
+            return x + ffn_out, (ck, cv, cks, cvs)
         return x + ffn_out, (ck, cv)
 
-    x, (new_k, new_v) = jax.lax.scan(
-        body, token_embeds, (params["layers"], cache.k, cache.v))
+    if quantized:
+        x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
+            body, token_embeds, (params["layers"], cache.k, cache.v,
+                                 cache.k_scale, cache.v_scale))
+        new_cache = KVCache(new_k, new_v, new_ks, new_vs)
+    else:
+        x, (new_k, new_v) = jax.lax.scan(
+            body, token_embeds, (params["layers"], cache.k, cache.v))
+        new_cache = KVCache(new_k, new_v)
     x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
     logits = lm_logits(params, cfg, x)
-    return logits, KVCache(new_k, new_v)
+    return logits, new_cache
 
 
 def _decode_step_q8(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
@@ -570,6 +703,7 @@ def _decode_step_q8(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
     del mask  # the kernel computes masking from valid_len/write_pos
 
     cache_k, cache_v = cache.k, cache.v
+    kv_quant = cache.quantized
 
     def body(x, scan_in):
         sp, li = scan_in
@@ -596,11 +730,29 @@ def _decode_step_q8(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
         k = k.reshape(B, 1, K, hd)
         v = v.reshape(B, 1, K, hd)
         q, k = apply_rope(q, k, cos, sin)
-        k_row = k[:, 0].astype(cache_k.dtype)          # [B, K, hd]
-        v_row = v[:, 0].astype(cache_v.dtype)
-        out = dk_attn.decode_attention_layered(
-            q[:, 0], k_row, v_row, cache_k, cache_v, li, valid_len,
-            write_pos, prompt_len, window=cfg.sliding_window)
+        if kv_quant:
+            # quantize the new row with the shared quantizer, then seed the
+            # kernel with its DEQUANTIZED values — the current token's
+            # self-attention sees exactly what a later verify pass reads
+            # back from the int8 cache (token-parity invariant)
+            kq, ks = _quantize_kv_rows(k[:, 0])        # [B,K,hd], [B,K]
+            vq, vs = _quantize_kv_rows(v[:, 0])
+            k_row = (kq.astype(jnp.float32)
+                     * ks[..., None]).astype(q.dtype)
+            v_row = (vq.astype(jnp.float32)
+                     * vs[..., None]).astype(q.dtype)
+            out = dk_attn.decode_attention_layered(
+                q[:, 0], k_row, v_row, cache_k, cache_v, li, valid_len,
+                write_pos, prompt_len, window=cfg.sliding_window,
+                k_scale=cache.k_scale, v_scale=cache.v_scale)
+            row_out = (kq, ks, vq, vs)
+        else:
+            k_row = k[:, 0].astype(cache_k.dtype)      # [B, K, hd]
+            v_row = v[:, 0].astype(cache_v.dtype)
+            out = dk_attn.decode_attention_layered(
+                q[:, 0], k_row, v_row, cache_k, cache_v, li, valid_len,
+                write_pos, prompt_len, window=cfg.sliding_window)
+            row_out = (k_row, v_row)
         out = mm(out.reshape(B, H * hd), big["o"], li)
         if "o_bias" in sp:
             out = out + sp["o_bias"].astype(out.dtype)
@@ -611,15 +763,30 @@ def _decode_step_q8(params: dict, cfg: LLMConfig, token_embeds: jax.Array,
             h[:, 0], big["gate"][wk], big["gate"]["scale"],
             big["up"][wk], big["up"]["scale"],
             big["down"][wk], big["down"]["scale"], li)
-        return x + ffn[:, None, :], (k_row, v_row)
+        return x + ffn[:, None, :], row_out
 
-    x, (k_rows, v_rows) = jax.lax.scan(
+    x, rows = jax.lax.scan(
         body, token_embeds, (small, jnp.arange(L, dtype=jnp.int32)))
-    # one aligned write of every layer's new row: [L, B, 1, K*hd]
-    new_k = jax.lax.dynamic_update_slice(
-        cache_k, k_rows.reshape(L, B, 1, K * hd), (0, 0, write_pos, 0))
-    new_v = jax.lax.dynamic_update_slice(
-        cache_v, v_rows.reshape(L, B, 1, K * hd), (0, 0, write_pos, 0))
+    if kv_quant:
+        k_rows, ks_rows, v_rows, vs_rows = rows     # int8 rows + f32 scales
+        new_k = jax.lax.dynamic_update_slice(
+            cache_k, k_rows.reshape(L, B, 1, K * hd), (0, 0, write_pos, 0))
+        new_v = jax.lax.dynamic_update_slice(
+            cache_v, v_rows.reshape(L, B, 1, K * hd), (0, 0, write_pos, 0))
+        # scales live [L, B, K, M]: the new column lands at lane write_pos
+        new_ks = jax.lax.dynamic_update_slice(
+            cache.k_scale, ks_rows[..., None], (0, 0, 0, write_pos))
+        new_vs = jax.lax.dynamic_update_slice(
+            cache.v_scale, vs_rows[..., None], (0, 0, 0, write_pos))
+        new_cache = KVCache(new_k, new_v, new_ks, new_vs)
+    else:
+        k_rows, v_rows = rows
+        # one aligned write of every layer's new row: [L, B, 1, K*hd]
+        new_k = jax.lax.dynamic_update_slice(
+            cache_k, k_rows.reshape(L, B, 1, K * hd), (0, 0, write_pos, 0))
+        new_v = jax.lax.dynamic_update_slice(
+            cache_v, v_rows.reshape(L, B, 1, K * hd), (0, 0, write_pos, 0))
+        new_cache = KVCache(new_k, new_v)
     x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
     logits = lm_logits(params, cfg, x[:, 0])
-    return logits, KVCache(new_k, new_v)
+    return logits, new_cache

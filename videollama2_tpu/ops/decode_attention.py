@@ -42,9 +42,13 @@ NEG_INF = -1e30
 
 
 def _kernel(meta_ref, valid_ref, q_ref, kn_ref, vn_ref, ck_ref, cv_ref,
-            o_ref, acc_ref, m_ref, l_ref, *, scale: float, block_m: int,
+            *rest, scale: float, block_m: int,
             prompt_len: int, window: Optional[int], kv_heads: int,
-            group: int, head_dim: int):
+            group: int, head_dim: int, quantized: bool):
+    if quantized:
+        ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        o_ref, acc_ref, m_ref, l_ref = rest
     b = pl.program_id(0)
     mi = pl.program_id(1)
     K, G, hd = kv_heads, group, head_dim
@@ -77,15 +81,35 @@ def _kernel(meta_ref, valid_ref, q_ref, kn_ref, vn_ref, ck_ref, cv_ref,
     # accumulation via preferred_element_type) — converting the [bm, K*hd]
     # blocks to fp32 on the VPU costs more than the dots themselves; the
     # softmax state stays fp32. scale is applied post-dot in fp32.
+    #
+    # int8 cache (quantized=True): the block is int8 (HALF the HBM reads of
+    # bf16 — decode attention is pure bandwidth) and per-row scales arrive
+    # as [K, bm] f32 blocks whose LANES run along cache rows, so the
+    # row-scale lands post-dot on the [G, bm] score tile (k side) and
+    # pre-dot on the [G, bm] probability tile (v side) — both as plain
+    # lane-aligned broadcasts, never touching the [bm, hd] data blocks.
+    # int8 -> bf16 is exact (every int8 value is representable), so the
+    # math matches the XLA dequant reference up to dot accumulation order.
     k_blk = ck_ref[0, 0]                               # [bm, K*hd]
     v_blk = cv_ref[0, 0]
+    if quantized:
+        ks_blk = ks_ref[0, 0]                          # [K, bm] f32
+        vs_blk = vs_ref[0, 0]
     for k in range(K):
         q_k = q_ref[0, k]                              # [G, hd]
         kb = k_blk[:, k * hd:(k + 1) * hd]             # [bm, hd] lane slice
         vb = v_blk[:, k * hd:(k + 1) * hd]
+        if quantized:
+            kb = kb.astype(q_k.dtype)
+            vb = vb.astype(q_k.dtype)
         s = jax.lax.dot_general(
             q_k, kb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # [G, bm]
+        if quantized:
+            # per-row k scale: [1, bm] broadcast over the G query heads
+            # (applied before masking — scales are strictly positive, and
+            # scaling NEG_INF afterwards would corrupt the mask value)
+            s = s * ks_blk[k:k + 1, :]
         s = jnp.where(keep, s, NEG_INF)
         # every intermediate stays 2-D ([G, 1] / [G, bm]): 1-D [G] values
         # force sublane<->lane relayouts that measured ~as much VPU time
@@ -97,8 +121,14 @@ def _kernel(meta_ref, valid_ref, q_ref, kn_ref, vn_ref, ck_ref, cv_ref,
         alpha = jnp.exp(m_prev - m_new)                # [G, 1]
         p = jnp.exp(s - m_new)                         # [G, bm]
         l_ref[k] = l_ref[k] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if quantized:
+            # fold the per-row v scale into p (f32) before the cast: the
+            # int8 v block then feeds the MXU unscaled
+            p_in = (p * vs_blk[k:k + 1, :]).astype(vb.dtype)
+        else:
+            p_in = p.astype(vb.dtype)
         pv = jax.lax.dot_general(
-            p.astype(v_blk.dtype), vb, (((1,), (0,)), ((), ())),
+            p_in, vb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)        # [G, hd]
         acc_ref[k] = acc_ref[k] * alpha + pv
 
@@ -115,7 +145,10 @@ def decode_attention_layered(q: jax.Array, k_new: jax.Array,
                              prompt_len: int,
                              window: Optional[int] = None,
                              block_m: Optional[int] = None,
-                             interpret: Optional[bool] = None) -> jax.Array:
+                             interpret: Optional[bool] = None,
+                             k_scale: Optional[jax.Array] = None,
+                             v_scale: Optional[jax.Array] = None
+                             ) -> jax.Array:
     """Single-token GQA attention against layer `layer` of a stacked cache.
 
     q: [B, H, hd]; k_new/v_new: [B, Hkv, hd] (current token, pre-cache);
@@ -124,6 +157,14 @@ def decode_attention_layered(q: jax.Array, k_new: jax.Array,
     step); valid_len: [B] prompt lengths; write_pos: scalar — cache row
     the current token will occupy (kernel reads only rows < write_pos);
     prompt_len: static prompt bucket.
+
+    int8 KV cache: pass int8 cache_k/v plus k_scale/v_scale
+    [L, B, Hkv, M] f32 (models/llm.KVCache quantized layout — scale lanes
+    run along cache rows so the [K, bm] scale block broadcasts straight
+    onto the score tile). k_new/v_new must then be the DEQUANTIZED current
+    row (quantize->dequantize round trip), so the seeded accumulator sees
+    exactly the values a later verify pass reads back from the cache.
+
     Returns [B, H, hd] in q.dtype. GQA head h reads kv head h // (H/Hkv)
     (the contiguous-group layout of mha_xla / HF repeat_kv).
     """
@@ -131,6 +172,7 @@ def decode_attention_layered(q: jax.Array, k_new: jax.Array,
     K = k_new.shape[1]
     L, _, M, _ = cache_k.shape
     G = H // K
+    quantized = k_scale is not None
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     if block_m is None:
@@ -141,33 +183,61 @@ def decode_attention_layered(q: jax.Array, k_new: jax.Array,
     # masking) and, as the sublane dim of the merged [bm, K*hd] cache
     # block, be a multiple of 8 for the Mosaic lowering (unless bm == M).
     # Take the largest such divisor <= block_m, falling back to M itself.
+    #
+    # Quantized cache: the [K, bm] scale blocks put bm on the LANE axis, so
+    # every block's lane offset (mi * bm) must be 128-aligned — bm must be
+    # a multiple of 128 dividing M, else fall back to one whole-M block
+    # (lane offset 0; edge padding covers a ragged M). Engine rounds
+    # max_len to a multiple of 256 under kv_bits=8 so a pipelined block
+    # always exists.
     bm = min(block_m, M)
-    while bm > 1 and (M % bm or bm % 8):
-        bm -= 1
-    if bm == 1 and M > 1:
-        bm = M
+    if quantized:
+        while bm > 1 and (M % bm or bm % 128):
+            bm -= 1
+        if bm % 128 or M % bm:
+            bm = M
+    else:
+        while bm > 1 and (M % bm or bm % 8):
+            bm -= 1
+        if bm == 1 and M > 1:
+            bm = M
 
     kernel = functools.partial(
         _kernel, scale=hd ** -0.5, block_m=bm, prompt_len=prompt_len,
-        window=window, kv_heads=K, group=G, head_dim=hd)
+        window=window, kv_heads=K, group=G, head_dim=hd,
+        quantized=quantized)
 
     meta = jnp.stack([jnp.asarray(layer, jnp.int32),
                       jnp.asarray(write_pos, jnp.int32)])
+    in_specs = [
+        # q pre-split as [B, K, G, hd]: head rows kv*G..(kv+1)*G are
+        # contiguous, so in-kernel access is leading-dim indexing only
+        pl.BlockSpec((1, K, G, hd), lambda b, m, meta, val: (b, 0, 0, 0)),
+        pl.BlockSpec((1, K, 1, hd), lambda b, m, meta, val: (b, 0, 0, 0)),
+        pl.BlockSpec((1, K, 1, hd), lambda b, m, meta, val: (b, 0, 0, 0)),
+        # cache as [L, B, M, K*hd]: rows fully contiguous in memory
+        pl.BlockSpec((1, 1, bm, K * hd),
+                     lambda b, m, meta, val: (meta[0], b, m, 0)),
+        pl.BlockSpec((1, 1, bm, K * hd),
+                     lambda b, m, meta, val: (meta[0], b, m, 0)),
+    ]
+    inputs = [meta, valid_len.astype(jnp.int32), q.reshape(B, K, G, hd),
+              k_new.reshape(B, K, 1, hd), v_new.reshape(B, K, 1, hd),
+              cache_k, cache_v]
+    bytes_accessed = 2 * B * M * K * hd * cache_k.dtype.itemsize
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, K, bm),
+                         lambda b, m, meta, val: (meta[0], b, 0, m)),
+            pl.BlockSpec((1, 1, K, bm),
+                         lambda b, m, meta, val: (meta[0], b, 0, m)),
+        ]
+        inputs += [k_scale, v_scale]
+        bytes_accessed += 2 * B * M * K * k_scale.dtype.itemsize
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,            # meta [2], valid_len [B] in SMEM
         grid=(B, M // bm),
-        in_specs=[
-            # q pre-split as [B, K, G, hd]: head rows kv*G..(kv+1)*G are
-            # contiguous, so in-kernel access is leading-dim indexing only
-            pl.BlockSpec((1, K, G, hd), lambda b, m, meta, val: (b, 0, 0, 0)),
-            pl.BlockSpec((1, K, 1, hd), lambda b, m, meta, val: (b, 0, 0, 0)),
-            pl.BlockSpec((1, K, 1, hd), lambda b, m, meta, val: (b, 0, 0, 0)),
-            # cache as [L, B, M, K*hd]: rows fully contiguous in memory
-            pl.BlockSpec((1, 1, bm, K * hd),
-                         lambda b, m, meta, val: (meta[0], b, m, 0)),
-            pl.BlockSpec((1, 1, bm, K * hd),
-                         lambda b, m, meta, val: (meta[0], b, m, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, K, G, hd),
                                lambda b, m, meta, val: (b, 0, 0, 0)),
         scratch_shapes=[
@@ -182,10 +252,8 @@ def decode_attention_layered(q: jax.Array, k_new: jax.Array,
         out_shape=jax.ShapeDtypeStruct((B, K, G, hd), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=int(4 * B * H * M * hd),
-            bytes_accessed=int(2 * B * M * K * hd * cache_k.dtype.itemsize),
+            bytes_accessed=int(bytes_accessed),
             transcendentals=int(B * H * M)),
         interpret=interpret,
-    )(meta, valid_len.astype(jnp.int32), q.reshape(B, K, G, hd),
-      k_new.reshape(B, K, 1, hd), v_new.reshape(B, K, 1, hd),
-      cache_k, cache_v)
+    )(*inputs)
     return out.reshape(B, H, hd)
