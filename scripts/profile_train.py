@@ -134,6 +134,10 @@ def main():
     np.asarray(metrics["loss"])
     dt = (time.time() - t0) / iters
 
+    if os.environ.get("ATTRIB", "0") == "1":
+        _attribution(cfg, state, batch, train_step, tx, mask, remat, dt,
+                     on_tpu, size)
+
     # model FLOPs: 6 * N_trainable * tokens (fwd+bwd) + frozen tower fwd
     lcfg = cfg.llm
     n_llm = (lcfg.num_layers * (
@@ -151,6 +155,172 @@ def main():
           f"{toks/dt:.0f} tok/s, llm-param count {n_llm/1e9:.2f}B, "
           f"~{flops/dt/1e12:.1f} TF/s ({100*flops/dt/peak:.0f}% of peak, "
           f"LLM fwd+bwd only — tower/connector excluded)", flush=True)
+
+
+def _attribution(cfg, state, batch, train_step, tx, mask, remat, t_step,
+                 on_tpu, size):
+    """Component attribution of the train step (VERDICT r5 #3): time each
+    stage as its own jitted program with device-readback syncs, then report
+    the residual. Mirrors the decode floor table in docs/DESIGN.md."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from videollama2_tpu.models import llm as llm_lib
+    from videollama2_tpu.models import videollama2 as vl2
+    from videollama2_tpu.multimodal import splice as splice_lib
+    from videollama2_tpu.ops import attention as attn_ops
+    from videollama2_tpu.train import step as step_lib
+
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    params = state.params
+    B, S = batch.text_ids.shape
+    lcfg = cfg.llm
+    iters = 4 if on_tpu else 1
+
+    def timed(name, fn, *args):
+        out = fn(*args)                      # compile + warmup
+        np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn(*args)
+        np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+        dt = (time.time() - t0) / iters
+        print(f"  {name:<28} {dt*1e3:9.1f} ms", flush=True)
+        return dt
+
+    print(f"[attribution] step={t_step*1e3:.1f} ms  B={B} S={S}",
+          flush=True)
+
+    # 1. full forward (loss only)
+    @jax.jit
+    def fwd_only(params, b):
+        loss, _ = step_lib._loss_fn(params, cfg, b, dtype, "auto", None,
+                                    remat)
+        return loss
+    t_fwd = timed("forward (loss only)", fwd_only, params, batch)
+
+    # 2. grads (no optimizer)
+    @jax.jit
+    def grad_only(params, b):
+        (loss, _), grads = jax.value_and_grad(
+            step_lib._loss_fn, has_aux=True)(params, cfg, b, dtype, "auto",
+                                             None, remat)
+        return loss, grads
+    try:
+        t_grad = timed("forward+backward", grad_only, params, batch)
+    except Exception as e:  # QLoRA int8 bases can't be cotangents
+        print(f"  forward+backward           skipped ({type(e).__name__})",
+              flush=True)
+        t_grad = None
+
+    # 3. frozen tower + connector (inside the fwd)
+    @jax.jit
+    def vit_only(params, frames):
+        return vl2.encode_frames(params, cfg, frames)
+    t_vit = timed("ViT+connector encode", vit_only, params,
+                  jnp.asarray(batch.frames))
+
+    # 4. LLM forward alone on pre-spliced embeds
+    embeds = jnp.zeros((B, S, lcfg.hidden_size), dtype)
+    positions = jnp.asarray(batch.positions)
+    valid = jnp.asarray(batch.valid_len)
+
+    @jax.jit
+    def llm_fwd(params, e):
+        h, _ = llm_lib.forward(params["llm"], lcfg, e, positions, valid,
+                               attn_impl="auto", remat=remat)
+        return h
+    t_llm_fwd = timed("LLM forward (scan)", llm_fwd, params, embeds)
+
+    # 5. lm_head + CE loss fwd+bwd (the [B*S, D] x [D, V] pair)
+    hidden = jnp.zeros((B, S, lcfg.hidden_size), dtype)
+    labels = jnp.asarray(batch.labels)
+
+    @jax.jit
+    def head_loss_grad(params, h):
+        def f(h):
+            logits = llm_lib.lm_logits(params["llm"], lcfg, h)
+            lab = jnp.maximum(labels[:, 1:], 0)
+            logp = jax.nn.log_softmax(logits[:, :-1], -1)
+            return -jnp.take_along_axis(logp, lab[..., None],
+                                        -1).mean()
+        return jax.value_and_grad(f)(h)
+    t_head = timed("lm_head+CE fwd+bwd", head_loss_grad, params, hidden)
+
+    # 6. attention fwd / bwd at the training shape, x num_layers
+    H, Kh, hd = lcfg.num_heads, lcfg.num_kv_heads, lcfg.head_dim
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(rng, (B, S, H, hd), dtype) * 0.1
+    k = jax.random.normal(rng, (B, S, Kh, hd), dtype) * 0.1
+    v = jax.random.normal(rng, (B, S, Kh, hd), dtype) * 0.1
+    L = lcfg.num_layers
+
+    @jax.jit
+    def attn_fwd(q, k, v):
+        return attn_ops.attend(q, k, v, valid_len=valid, causal=True,
+                               impl="pallas" if on_tpu else "xla")
+    t_attn_f = timed("attention fwd (1 layer)", attn_fwd, q, k, v)
+
+    @jax.jit
+    def attn_grad(q, k, v):
+        def f(q, k, v):
+            o = attn_ops.attend(q, k, v, valid_len=valid, causal=True,
+                                impl="pallas" if on_tpu else "xla")
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    t_attn_fb = timed("attention fwd+bwd (1 layer)", attn_grad, q, k, v)
+
+    @jax.jit
+    def attn_grad_xla(q, k, v):
+        def f(q, k, v):
+            o = attn_ops.attend(q, k, v, valid_len=valid, causal=True,
+                                impl="xla")
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    try:
+        t_attn_fb_xla = timed("attention fwd+bwd XLA ref", attn_grad_xla,
+                              q, k, v)
+    except Exception as e:
+        print(f"  attention fwd+bwd XLA ref  OOM/err ({type(e).__name__})",
+              flush=True)
+        t_attn_fb_xla = float("nan")
+
+    # 7. optimizer update isolated
+    if t_grad is not None:
+        _, grads = grad_only(params, batch)
+
+        @jax.jit
+        def opt_only(grads, state):
+            updates, new_opt = tx.update(grads, state.opt_state,
+                                         state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return new_params
+        t_opt = timed("optimizer update", opt_only, grads, state)
+    else:
+        t_opt = float("nan")
+
+    print("[attribution] derived:", flush=True)
+    attn_f_all = t_attn_f * L
+    attn_b_all = (t_attn_fb - t_attn_f) * L
+    print(f"  attention fwd x{L}: {attn_f_all*1e3:.1f} ms | "
+          f"attention bwd x{L}: {attn_b_all*1e3:.1f} ms "
+          f"(XLA-ref bwd would be "
+          f"{(t_attn_fb_xla - t_attn_f) * L * 1e3:.1f} ms)", flush=True)
+    if t_grad is not None:
+        # full remat: grad = fwd + re-forward (~= llm fwd) + bwd proper
+        reforward = t_llm_fwd if remat is True else 0.0
+        bwd_proper = t_grad - t_fwd - reforward
+        print(f"  step {t_step*1e3:.1f} = grad {t_grad*1e3:.1f} "
+              f"+ opt {t_opt*1e3:.1f} "
+              f"+ residual {(t_step-t_grad-t_opt)*1e3:.1f} ms", flush=True)
+        print(f"  grad {t_grad*1e3:.1f} = fwd {t_fwd*1e3:.1f} "
+              f"(vit {t_vit*1e3:.1f} + llm {t_llm_fwd*1e3:.1f} + head/other "
+              f"{(t_fwd-t_vit-t_llm_fwd)*1e3:.1f}) "
+              f"+ remat re-forward ~{reforward*1e3:.1f} "
+              f"+ bwd proper ~{bwd_proper*1e3:.1f} ms "
+              f"(of which attention bwd {attn_b_all*1e3:.1f}, "
+              f"head bwd ~{max(t_head - t_head/3, 0)*1e3:.1f})", flush=True)
 
 
 if __name__ == "__main__":

@@ -56,7 +56,14 @@ run bench_b8_kv8 2400 env BENCH_KV_BITS=8 python bench.py
 run bench_int4 2400 env BENCH_BITS=4 python bench.py
 run bench_qwen2 2400 env BENCH_MODEL=qwen2 python bench.py
 # training step attribution (VERDICT r5 #3)
-run profile_train 2400 python scripts/profile_train.py
+run profile_train_attrib 2400 env ATTRIB=1 python scripts/profile_train.py
+# 7B int8 continuous-batching serving (VERDICT r5 #4): synthetic on-device
+# weights through the real worker/batcher stack; tokenizer from the tiny
+# offline checkpoint (ids are a subset of the 32k vocab)
+python scripts/make_tiny_checkpoint.py > /tmp/tpu_queue/make_ckpt.out 2>&1
+run bench_serving_7b 3000 python scripts/bench_serving.py \
+  --model-path "synthetic://videollama2_mistral?bits=8&kv_bits=8&max_len=512&tokenizer=/tmp/tiny_vllama2_ckpt" \
+  --platform tpu --requests 24 --concurrency 8 --max-new-tokens 64
 # NOTE: the headline bench default config is still run by the driver at
 # round end; run `python bench.py` manually while iterating.
 

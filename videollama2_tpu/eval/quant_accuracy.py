@@ -61,9 +61,35 @@ def _prep_params(params: dict, variant: QuantVariant) -> dict:
     return params
 
 
-def _decode_logits(params: dict, cfg: LLMConfig, prompt: np.ndarray,
-                   forced: Optional[np.ndarray], steps: int, bucket: int,
-                   max_len: int, kv_bits: int, w8a8: bool, dtype):
+def _make_fns(cfg: LLMConfig, bucket: int, max_len: int, kv_bits: int,
+              w8a8: bool, dtype):
+    """Jitted prefill / decode-step closures (compiled once per variant;
+    eager per-op dispatch on the 1-core CI host is ~50x slower)."""
+    import jax as _jax
+
+    @_jax.jit
+    def prefill_fn(params, ids, valid):
+        with layers_ops.quant_inference(True), layers_ops.w8a8_prefill(w8a8):
+            cache = llm_lib.init_cache(cfg, 1, max_len, dtype,
+                                       kv_bits=kv_bits)
+            embeds = llm_lib.embed_tokens(params, ids, dtype=dtype)
+            positions = jnp.broadcast_to(jnp.arange(bucket), (1, bucket))
+            last, cache = llm_lib.prefill(params, cfg, embeds, positions,
+                                          valid, cache)
+            return llm_lib.lm_logits(params, cfg, last), cache
+
+    @_jax.jit
+    def step_fn(params, feed, cache, valid, stepi):
+        with layers_ops.quant_inference(True):
+            te = llm_lib.embed_tokens(params, feed[None, None], dtype=dtype)
+            return llm_lib.decode_step(params, cfg, te, cache, valid,
+                                       bucket, stepi)
+
+    return prefill_fn, step_fn
+
+
+def _decode_logits(params: dict, fns, prompt: np.ndarray,
+                   forced: Optional[np.ndarray], steps: int, bucket: int):
     """Prefill `prompt` then decode `steps` tokens.
 
     forced=None: free-running greedy (each step feeds its own argmax).
@@ -71,28 +97,20 @@ def _decode_logits(params: dict, cfg: LLMConfig, prompt: np.ndarray,
     reference's trajectory), so per-step logits are comparable across
     configurations.
     Returns (logits [steps, V] fp32, tokens [steps])."""
+    prefill_fn, step_fn = fns
     S = len(prompt)
     ids = np.zeros((1, bucket), np.int32)
     ids[0, :S] = prompt
     valid = jnp.asarray([S], jnp.int32)
-    cache = llm_lib.init_cache(cfg, 1, max_len, dtype, kv_bits=kv_bits)
-
-    with layers_ops.quant_inference(True), layers_ops.w8a8_prefill(w8a8):
-        embeds = llm_lib.embed_tokens(params, jnp.asarray(ids), dtype=dtype)
-        positions = jnp.broadcast_to(jnp.arange(bucket), (1, bucket))
-        last, cache = llm_lib.prefill(params, cfg, embeds, positions,
-                                      valid, cache)
-        logits = llm_lib.lm_logits(params, cfg, last)
+    logits, cache = prefill_fn(params, jnp.asarray(ids), valid)
 
     out_logits: List[np.ndarray] = [np.asarray(logits[0], np.float32)]
     tok = int(np.argmax(out_logits[0]))
     tokens = [tok]
     for i in range(1, steps):
         feed = int(forced[i - 1]) if forced is not None else tokens[-1]
-        te = llm_lib.embed_tokens(params, jnp.asarray([[feed]]), dtype=dtype)
-        with layers_ops.quant_inference(True):
-            logits, cache = llm_lib.decode_step(
-                params, cfg, te, cache, valid, bucket, jnp.int32(i - 1))
+        logits, cache = step_fn(params, jnp.int32(feed), cache, valid,
+                                jnp.int32(i - 1))
         out_logits.append(np.asarray(logits[0], np.float32))
         tokens.append(int(np.argmax(out_logits[-1])))
     return np.stack(out_logits), np.asarray(tokens)
@@ -117,29 +135,29 @@ def measure(params: dict, cfg: LLMConfig,
     """Run the full variant matrix. Returns {variant: metrics} where
     metrics = {kl, top1_agreement, greedy_exact_match, first_divergence}."""
     # reference trajectories (full precision, bf16/fp32 cache)
+    ref_fns = _make_fns(cfg, bucket, max_len, 16, False, dtype)
     refs = []
     for p in prompts:
-        lo, toks = _decode_logits(params, cfg, p, None, steps, bucket,
-                                  max_len, 16, False, dtype)
+        lo, toks = _decode_logits(params, ref_fns, p, None, steps, bucket)
         refs.append((lo, toks))
 
     results: Dict[str, dict] = {}
     for variant in variants:
         vparams = _prep_params(params, variant)
+        fns = _make_fns(cfg, bucket, max_len, variant.kv_bits,
+                        variant.w8a8_prefill, dtype)
         kls, agree, total = [], 0, 0
         exact, first_div = 0, []
         for p, (ref_lo, ref_toks) in zip(prompts, refs):
             # teacher-forced on the reference trajectory
-            q_lo, q_toks = _decode_logits(
-                vparams, cfg, p, ref_toks, steps, bucket, max_len,
-                variant.kv_bits, variant.w8a8_prefill, dtype)
+            q_lo, q_toks = _decode_logits(vparams, fns, p, ref_toks, steps,
+                                          bucket)
             kls.append(_kl(ref_lo, q_lo))
             agree += int((q_toks == ref_toks).sum())
             total += steps
             # free-running greedy (the user-visible answer)
-            _, free_toks = _decode_logits(
-                vparams, cfg, p, None, steps, bucket, max_len,
-                variant.kv_bits, variant.w8a8_prefill, dtype)
+            _, free_toks = _decode_logits(vparams, fns, p, None, steps,
+                                          bucket)
             same = free_toks == ref_toks
             exact += int(same.all())
             first_div.append(int(np.argmax(~same)) if not same.all()

@@ -61,6 +61,12 @@ def model_init(model_path: Optional[str] = None, dtype=None,
         dtype = jnp.bfloat16
     if model_path is None:
         raise ValueError("model_path is required (no network access)")
+    if model_path.startswith("synthetic://"):
+        # timing-equivalent on-device fills at preset scale (no checkpoint
+        # on disk, no tunnel upload): the serving benchmark's 7B config
+        # (scripts/bench_serving.py --model-path 'synthetic://...'). Values
+        # are constant fills — throughput numbers are real, answers are not.
+        return _model_init_synthetic(model_path, dtype, max_len, **kwargs)
 
     cfg, params = convert_hf.load_videollama2(
         model_path, model_base=model_base,
@@ -101,6 +107,68 @@ def model_init(model_path: Optional[str] = None, dtype=None,
         processor["audio"] = functools.partial(_prep_audio, cfg=cfg)
         processor["av"] = functools.partial(_prep_av, cfg=cfg,
                                             num_frames=num_frames)
+    return model, processor, tokenizer
+
+
+def _model_init_synthetic(model_path: str, dtype, max_len: int, **kwargs):
+    """model_path = 'synthetic://<preset>?bits=8&kv_bits=8&max_len=512
+    &tokenizer=/path/to/tokenizer_dir'.
+
+    Builds the preset-scale model with constant on-device fills
+    (utils/synthetic — no host init, no tunnel upload) and a real tokenizer
+    from `tokenizer` (any local tokenizer dir; ids are a subset of the
+    preset vocab). Serving-throughput benchmarks at 7B scale run through
+    the exact worker/batcher/engine stack this way (VERDICT r5 #4)."""
+    from urllib.parse import parse_qs, urlparse
+    import jax
+    import jax.numpy as jnp
+
+    from ..core import config as cfglib
+    from ..models import videollama2 as vl2
+    from ..utils import synthetic
+
+    u = urlparse(model_path)
+    q = {k: v[0] for k, v in parse_qs(u.query).items()}
+    cfg = (cfglib.tiny_model() if u.netloc == "tiny"
+           else cfglib.preset(u.netloc))
+    if "num_frames" in q:
+        cfg = cfg.replace(num_frames=int(q["num_frames"]))
+    bits = int(q.get("bits", "8"))
+    kv_bits = int(q.get("kv_bits", kwargs.pop("kv_bits", 16)))
+    max_len = int(q.get("max_len", max_len))
+
+    abstract = jax.eval_shape(lambda: vl2.init_params(
+        jax.random.PRNGKey(0), cfg, dtype=dtype))
+    if bits:
+        # vision tower always int8 under quantized serving (bitsandbytes
+        # wraps every nn.Linear; the int4 pack applies to the LLM only) —
+        # same layout bench.py measures
+        abstract = synthetic.quantized_abstract(
+            abstract, quantize_llm=True, quantize_vision=True,
+            llm_bits=bits)
+    params = synthetic.materialize_fills(abstract)
+    engine = Engine(cfg, params, dtype=dtype, max_len=max_len,
+                    kv_bits=kv_bits, **kwargs)
+    model = VideoLLaMA2(config=cfg, engine=engine)
+
+    from transformers import AutoTokenizer
+    tok_dir = q.get("tokenizer")
+    if tok_dir is None:
+        raise ValueError("synthetic:// model paths need "
+                         "?tokenizer=<local tokenizer dir> "
+                         "(e.g. from scripts/make_tiny_checkpoint.py)")
+    tokenizer = AutoTokenizer.from_pretrained(tok_dir, use_fast=True)
+    if tokenizer.pad_token is None and tokenizer.unk_token is not None:
+        tokenizer.pad_token = tokenizer.unk_token
+
+    num_frames = cfg.num_frames if cfg.num_frames else NUM_FRAMES
+    processor = {
+        "image": functools.partial(process_image, cfg=cfg.vision,
+                                   aspect_ratio=None, out_dtype="uint8"),
+        "video": functools.partial(process_video, cfg=cfg.vision,
+                                   aspect_ratio=None, num_frames=num_frames,
+                                   out_dtype="uint8"),
+    }
     return model, processor, tokenizer
 
 

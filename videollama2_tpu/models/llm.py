@@ -331,13 +331,21 @@ def _layer(cfg: LLMConfig, x, lp, cos, sin, valid_len, attn_impl="auto"):
 
 def forward(params: dict, cfg: LLMConfig, embeds: jax.Array,
             positions: jax.Array, valid_len: jax.Array,
-            attn_impl: str = "auto", remat: bool = False
-            ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+            attn_impl: str = "auto", remat: bool = False,
+            kv_quantize: bool = False
+            ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
     """Full-sequence forward (prefill / training).
 
     embeds: [B, S, D] already-spliced input embeddings.
     positions: [B, S] RoPE positions. valid_len: [B].
     Returns (hidden [B, S, D] post-final-norm, (k, v) [L, B, S, Hkv, hd]).
+
+    kv_quantize=True (int8-KV prefill): each layer's k/v quantize INSIDE
+    the scan body and the stacked outputs are (kq, ks, vq, vs) with int8
+    rows — accumulating bf16 [L, B, S, Hkv, hd] stacks instead costs 2x
+    the bytes and at B=16/S=1664/7B is the difference between fitting and
+    OOMing a 16 GB chip (the stacks are live simultaneously with the late
+    layers' FFN peaks).
     """
     from ..parallel import sharding as sh
     B, S, D = embeds.shape
@@ -347,6 +355,10 @@ def forward(params: dict, cfg: LLMConfig, embeds: jax.Array,
     def body(x, lp):
         out, kv = _layer(cfg, x, lp, cos, sin, valid_len,
                          attn_impl=attn_impl)
+        if kv_quantize:
+            kq, ks = _quantize_kv_rows(kv[0])
+            vq, vs = _quantize_kv_rows(kv[1])
+            kv = (kq, ks, vq, vs)
         return sh.sp_shard_seq(out), kv
 
     if remat == "dots":
@@ -369,17 +381,17 @@ def prefill(params: dict, cfg: LLMConfig, embeds: jax.Array,
 
     Returns (last_hidden [B, D], cache).
     """
-    hidden, (k, v) = forward(params, cfg, embeds, positions, valid_len,
-                             attn_impl=attn_impl)
+    hidden, kvs = forward(params, cfg, embeds, positions, valid_len,
+                          attn_impl=attn_impl,
+                          kv_quantize=cache.quantized)
     S = embeds.shape[1]
-    L, B = k.shape[0], k.shape[1]
+    L, B = kvs[0].shape[0], kvs[0].shape[1]
     if cache.quantized:
-        # prompt rows quantize with the shared row quantizer; attention
-        # DURING prefill used the exact bf16 k/v (computed above), only
-        # the stored cache rows are int8 — decode then reads every prompt
-        # row dequantized
-        kq, ks = _quantize_kv_rows(k)          # [L,B,S,Hkv,hd], [L,B,S,Hkv]
-        vq, vs = _quantize_kv_rows(v)
+        # prompt rows quantized by the shared row quantizer INSIDE the
+        # forward scan (halves the stacked-kv footprint); attention DURING
+        # prefill used the exact bf16 k/v, only the stored cache rows are
+        # int8 — decode then reads every prompt row dequantized
+        kq, ks, vq, vs = kvs       # [L,B,S,Hkv,hd] int8, [L,B,S,Hkv] f32
         new_k = jax.lax.dynamic_update_slice(
             cache.k, kq.reshape(L, B, S, -1), (0, 0, 0, 0))
         new_v = jax.lax.dynamic_update_slice(
@@ -390,6 +402,7 @@ def prefill(params: dict, cfg: LLMConfig, embeds: jax.Array,
             cache.v_scale, vs.transpose(0, 1, 3, 2), (0, 0, 0, 0))
         cache = KVCache(new_k, new_v, new_ks, new_vs)
     else:
+        k, v = kvs
         k = k.reshape(L, B, S, -1)         # merge [Hkv, hd] (cache layout)
         v = v.reshape(L, B, S, -1)
         new_k = jax.lax.dynamic_update_slice(

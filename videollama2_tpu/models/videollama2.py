@@ -60,14 +60,38 @@ def encode_frames(params: dict, cfg: ModelConfig, frames: jax.Array,
         frames = ((frames.astype(jnp.float32) / 255.0 - mean)
                   / std).astype(jnp.bfloat16)
     flat = frames.reshape((B * T,) + frames.shape[2:])
-    feats = vit_lib.features(params["vision"], cfg.vision, flat,
-                             attn_impl=attn_impl)
+    feats = _tower_features(params, cfg, flat, attn_impl)
     feats = jax.lax.stop_gradient(feats)  # tower frozen (train.py:534)
     feats = feats.reshape(B, T, feats.shape[1], feats.shape[2])
     if broadcast_image:
         feats = jnp.broadcast_to(
             feats, (B, cfg.num_frames) + feats.shape[2:])
     return temporal_aggregator(params, cfg, feats)
+
+
+def _tower_features(params: dict, cfg: ModelConfig, flat: jax.Array,
+                    attn_impl: str) -> jax.Array:
+    """Tower forward over [N, H, W, 3] frames, chunked along N.
+
+    Large-batch prefill (e.g. B=16 x 16 frames = 256 tower passes) peaks
+    several GB of tower activations if run as one batch; lax.map over
+    chunks of VIT_ENCODE_CHUNK (default 128, divisor-adjusted) serializes
+    the chunks so only one chunk's activations are ever live — 128 frames
+    already saturate the chip's MXU, so the serialization is free. This is
+    what lets the B=16 int8+kv8 bench config fit 16 GB HBM."""
+    import os
+    N = flat.shape[0]
+    chunk = int(os.environ.get("VIT_ENCODE_CHUNK", "128"))
+    while chunk > 1 and N % chunk:
+        chunk //= 2
+    if N <= chunk or N % chunk:
+        return vit_lib.features(params["vision"], cfg.vision, flat,
+                                attn_impl=attn_impl)
+    fr = flat.reshape((N // chunk, chunk) + flat.shape[1:])
+    feats = jax.lax.map(
+        lambda f: vit_lib.features(params["vision"], cfg.vision, f,
+                                   attn_impl=attn_impl), fr)
+    return feats.reshape((N,) + feats.shape[2:])
 
 
 def encode_audio(params: dict, cfg: ModelConfig,
