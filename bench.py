@@ -26,23 +26,29 @@ import numpy as np
 
 NUM_FRAMES = 16
 DECODE_TOKENS = 32  # Video-MME MC answers are short (one letter + rationale)
-BATCH = int(os.environ.get("BENCH_BATCH", "8"))  # batched serving (config 5)
+# batched serving (config 5); 16 is the headline default since round 5 —
+# the int8 KV cache halves the cache HBM so 7B int8 + B=16 fits 16 GB and
+# amortizes the weight-bound decode ~2x better per video (BASELINE.md)
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 
 
-def _analytic_a100_videos_per_sec() -> float:
-    """Analytic A100-80G estimate for the same batch-8 workload.
+def _analytic_a100_videos_per_sec(batch: int) -> float:
+    """Analytic A100-80G estimate for the same workload at `batch`.
 
-    encode: 8 x 16 frames x ViT-L/336 (~175 GFLOP/frame, 577 tok) = 22.4 TF
-    connector: STC RegNet+conv3d ~ 12 TF
-    prefill: 8 x ~1500 tokens x 7B x 2 = 168 TF
-      -> 202 TF / (312 TF/s * 0.5 MFU) = 1.30 s
-    decode: 32 steps, weight-bound: 32 x 14 GB / 2.0 TB/s = 0.22 s
-    total ~ 1.52 s / 8 videos -> ~5.3 videos/sec per A100.
+    Per video:
+      encode: 16 frames x ViT-L/336 (~175 GFLOP/frame, 577 tok) = 2.8 TF
+      connector: STC RegNet+conv3d ~ 1.5 TF
+      prefill: ~1500 tokens x 7B x 2 = 21 TF
+      -> 25.25 TF / (312 TF/s * 0.5 MFU) = 0.162 s (scales with batch)
+    decode: 32 steps, weight-bound: 32 x 14 GB / 2.0 TB/s = 0.224 s
+    (batch-independent while decode stays weight-read-bound).
+    batch=8  -> 8 / (8*0.162 + 0.224)  = 5.3 videos/sec
+    batch=16 -> 16 / (16*0.162 + 0.224) = 5.7 videos/sec
     North star (BASELINE.md) is v5e-8 vs A100: vs_baseline extrapolates the
     measured single-chip rate x8 chips (video-level parallelism is
     embarrassingly parallel across the slice) over this analytic number.
     """
-    return 5.3
+    return round(batch / (batch * 0.162 + 0.224), 2)
 
 
 def _run(quantize_llm: bool):
@@ -186,10 +192,12 @@ def _run(quantize_llm: bool):
             quantize_embed=(model == "qwen2"), llm_bits=bench_bits)
         wcfg = f"int{bench_bits}-weights"
 
-    # BENCH_KV_BITS=8: int8 KV cache (models/llm.init_cache kv_bits=8) —
-    # halves the decode-attention HBM reads AND the cache footprint, which
-    # is what makes BENCH_BATCH=16 fit a 16 GB chip at 7B int8 weights
-    kv_bits = int(os.environ.get("BENCH_KV_BITS", "16")) if full_path else 16
+    # BENCH_KV_BITS=8 (default since round 5): int8 KV cache
+    # (models/llm.init_cache kv_bits=8) — halves the decode-attention HBM
+    # reads AND the cache footprint, which is what makes BENCH_BATCH=16 fit
+    # a 16 GB chip at 7B int8 weights. Accuracy-free: teacher-forced KL vs
+    # the bf16 cache 2.7e-8, top-1 agreement 100% (eval/quant_accuracy).
+    kv_bits = int(os.environ.get("BENCH_KV_BITS", "8")) if full_path else 16
     if kv_bits == 8:
         wcfg += "+kv8"
 
@@ -315,7 +323,7 @@ def _run(quantize_llm: bool):
           file=sys.stderr, flush=True)
     videos_per_sec = BATCH / dt
 
-    baseline = _analytic_a100_videos_per_sec()
+    baseline = _analytic_a100_videos_per_sec(BATCH)
     return {
         "metric": (f"videos/sec e2e ({T}-frame encode + prefill + "
                    f"{DECODE_TOKENS}-tok greedy decode, "

@@ -80,14 +80,21 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
 
+    from videollama2_tpu.inference import api as api_lib
     from videollama2_tpu.serve import model_worker as worker_mod
+
+    # load ONCE and share across modes: a 7B int8 tree is ~7.5 GB — two
+    # copies (serial-mode worker still alive while the dynamic one loads)
+    # RESOURCE_EXHAUST a 16 GB chip
+    bundle = api_lib.model_init(args.model_path)
 
     modes = [m.strip() for m in args.modes.split(",") if m.strip()]
     results = {}
     for dynamic in [m == "dynamic" for m in modes]:
         worker = worker_mod.ModelWorker(
             "http://localhost:0", "http://localhost:0", args.model_path,
-            model_name="bench", register=False, dynamic_batch=dynamic)
+            model_name="bench", register=False, dynamic_batch=dynamic,
+            preloaded=bundle)
         srv = ThreadingHTTPServer(("localhost", 0),
                                   worker_mod.make_handler(worker))
         port = srv.server_address[1]
@@ -101,6 +108,7 @@ def main():
             worker, port, args.requests, args.concurrency,
             args.max_new_tokens)
         srv.shutdown()
+        worker.session_store = None  # free cached per-session KV caches
         print(f"[{'dynamic' if dynamic else 'serial '}] "
               f"{results['dynamic' if dynamic else 'serial']}",
               file=sys.stderr, flush=True)

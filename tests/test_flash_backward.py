@@ -103,6 +103,12 @@ def test_lse_matches_dense():
     scale = D ** -0.5
     _, lse = flash_attention(q, k, v, vl, True, scale, return_lse=True)
 
+    # lse is lane-broadcast [B, H, S, 128] (Mosaic block layout); every lane
+    # must carry the same value
+    lse = np.asarray(lse)
+    np.testing.assert_array_equal(
+        lse, np.broadcast_to(lse[..., :1], lse.shape))
+
     s = np.einsum("bqhd,bkhd->bhqk", np.asarray(q), np.asarray(k)) * scale
     qi = np.arange(S)[:, None]
     ki = np.arange(S)[None, :]
@@ -110,7 +116,7 @@ def test_lse_matches_dense():
         mask = (qi >= ki) & (ki < int(vl[b]))
         sb = np.where(mask[None], s[b], -np.inf)
         want = np.log(np.exp(sb).sum(-1))               # [H, S]
-        got = np.asarray(lse[b])
+        got = lse[b, :, :, 0]
         rows = qi[:, 0] < S  # all rows valid here (query rows unmasked)
         np.testing.assert_allclose(got[:, rows], want[:, rows],
                                    rtol=1e-5, atol=1e-5)

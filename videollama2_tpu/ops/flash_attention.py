@@ -86,10 +86,15 @@ def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *rest,
     o_ref[0, 0] = out.astype(o_ref.dtype)
     if with_lse:
         # log-sum-exp per query row, consumed by the tiled backward
-        # (p = exp(s - lse) reconstructs softmax rows without renormalizing)
+        # (p = exp(s - lse) reconstructs softmax rows without renormalizing).
+        # Stored lane-broadcast as [.., block_q, 128]: Mosaic requires the
+        # last two block dims (sublane, lane) be (8k, 128k) or whole-dim, so
+        # a [B, H, S] layout with (1, 1, bq) blocks does not lower — same
+        # scheme as jax.experimental.pallas.ops.tpu.flash_attention's l/m
+        # outputs (MIN_BLOCK_SIZE trailing dim).
         lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
         lse = jnp.where(l == 0.0, NEG_INF, lse)          # padded rows
-        rest[0][0, 0] = lse[:, 0]
+        rest[0][0, 0] = jnp.broadcast_to(lse, (block_q, 128))
 
 
 def _pick_block(s: int, target: int) -> int:
@@ -110,8 +115,10 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     Returns [B, Sq, Hq, D]. Sq/Sk must be multiples of the chosen blocks
     (callers pad to buckets, so this holds by construction).
-    return_lse=True additionally returns the per-row logsumexp
-    [B, Hq, Sq] f32 (the training path's backward residual).
+    return_lse=True additionally returns the per-row logsumexp as
+    [B, Hq, Sq, 128] f32 with the value replicated across the trailing 128
+    lanes (the training path's backward residual; see _flash_kernel for why
+    the lane-broadcast layout is required).
     """
     B, Sq, Hq, D = q.shape
     _, Sk, Hkv, _ = k.shape
@@ -144,9 +151,10 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     out_shape = jax.ShapeDtypeStruct((B, Hq, Sq, D), q.dtype)
     if return_lse:
         out_specs = [out_specs,
-                     pl.BlockSpec((1, 1, bq), lambda b, h, i, _: (b, h, i))]
+                     pl.BlockSpec((1, 1, bq, 128),
+                                  lambda b, h, i, _: (b, h, i, 0))]
         out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((B, Hq, Sq), jnp.float32)]
+                     jax.ShapeDtypeStruct((B, Hq, Sq, 128), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # valid_len [B] lands in SMEM pre-kernel
         grid=(B, Hq, Sq // bq),
@@ -200,14 +208,17 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-def _flash_bwd_dq_kernel(valid_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                         delta_ref, dq_ref, *, scale: float, causal: bool,
+def _flash_bwd_dq_kernel(valid_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
+                         lse_ref, dq_ref, *, scale: float, causal: bool,
                          block_q: int, block_k: int, seq_k: int):
     qi = pl.program_id(2)
     q = q_ref[0, 0]                                     # [BQ, D]
     do = do_ref[0, 0]                                   # [BQ, D]
-    lse = lse_ref[0, 0][:, None]                        # [BQ, 1] f32
-    delta = delta_ref[0, 0][:, None]                    # [BQ, 1] f32
+    lse = lse_ref[0, 0][:, :1]                          # [BQ, 1] f32
+    # delta_i = rowsum(do_i * o_i), computed in-kernel from the o/do blocks
+    # (cheaper than a lane-broadcast [B, H, S, 128] delta tensor in HBM)
+    delta = jnp.sum(do.astype(jnp.float32) * o_ref[0, 0].astype(jnp.float32),
+                    axis=1, keepdims=True)              # [BQ, 1] f32
     valid = valid_ref[pl.program_id(0)]
 
     nk = seq_k // block_k
@@ -247,8 +258,8 @@ def _flash_bwd_dq_kernel(valid_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     dq_ref[0, 0] = acc.astype(dq_ref.dtype)
 
 
-def _flash_bwd_dkv_kernel(valid_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                          delta_ref, dk_ref, dv_ref, *, scale: float,
+def _flash_bwd_dkv_kernel(valid_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
+                          lse_ref, dk_ref, dv_ref, *, scale: float,
                           causal: bool, block_q: int, block_k: int,
                           seq_q: int):
     ki = pl.program_id(2)
@@ -264,8 +275,10 @@ def _flash_bwd_dkv_kernel(valid_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         dk_acc, dv_acc = carry
         q = q_ref[0, 0, pl.ds(qb * block_q, block_q)]    # [BQ, D]
         do = do_ref[0, 0, pl.ds(qb * block_q, block_q)]
-        lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
-        delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
+        lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)][:, :1]  # [BQ, 1]
+        o_blk = o_ref[0, 0, pl.ds(qb * block_q, block_q)]
+        delta = jnp.sum(do.astype(jnp.float32) * o_blk.astype(jnp.float32),
+                        axis=1, keepdims=True)           # [BQ, 1] f32
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # [BQ, BK]
@@ -300,7 +313,8 @@ def flash_attention_bwd(q, k, v, o, lse, do, valid_len,
                         causal: bool, scale: float,
                         block_q: int = 256, block_k: int = 256,
                         interpret: Optional[bool] = None):
-    """Tiled dq/dk/dv. Shapes as flash_attention; lse: [B, Hq, Sq] f32.
+    """Tiled dq/dk/dv. Shapes as flash_attention; lse: [B, Hq, Sq, 128] f32
+    (lane-broadcast, as returned by flash_attention(return_lse=True)).
 
     Returns (dq [B,Sq,Hq,D], dk [B,Sk,Hkv,D], dv [B,Sk,Hkv,D]) in the
     input dtypes. GQA: dk/dv are computed per QUERY head then group-summed.
@@ -319,9 +333,10 @@ def flash_attention_bwd(q, k, v, o, lse, do, valid_len,
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
     dot = do.transpose(0, 2, 1, 3)
-    # delta = rowsum(do * o): cheap elementwise+reduce, XLA fuses it
-    delta = jnp.sum(dot.astype(jnp.float32)
-                    * o.transpose(0, 2, 1, 3).astype(jnp.float32), axis=-1)
+    ot = o.transpose(0, 2, 1, 3)
+    # delta = rowsum(do * o) is computed inside the kernels from the o/do
+    # blocks already streaming through VMEM (a lane-broadcast delta tensor
+    # would cost more HBM than re-reading o)
 
     dq_kernel = functools.partial(
         _flash_bwd_dq_kernel, scale=scale, causal=causal, block_q=bq,
@@ -338,8 +353,9 @@ def flash_attention_bwd(q, k, v, o, lse, do, valid_len,
                 pl.BlockSpec((1, 1, Sk, D),
                              lambda b, h, i, _: (b, h // rep, 0, 0)),
                 pl.BlockSpec((1, 1, bq, D), lambda b, h, i, _: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, bq), lambda b, h, i, _: (b, h, i)),
-                pl.BlockSpec((1, 1, bq), lambda b, h, i, _: (b, h, i)),
+                pl.BlockSpec((1, 1, bq, D), lambda b, h, i, _: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, bq, 128),
+                             lambda b, h, i, _: (b, h, i, 0)),
             ],
             out_specs=pl.BlockSpec((1, 1, bq, D),
                                    lambda b, h, i, _: (b, h, i, 0)),
@@ -351,7 +367,7 @@ def flash_attention_bwd(q, k, v, o, lse, do, valid_len,
             * qt.dtype.itemsize,
             transcendentals=B * Hq * Sq * Sk),
         interpret=interpret,
-    )(valid_len.astype(jnp.int32), qt, kt, vt, dot, lse, delta)
+    )(valid_len.astype(jnp.int32), qt, kt, vt, dot, ot, lse)
 
     dkv_kernel = functools.partial(
         _flash_bwd_dkv_kernel, scale=scale, causal=causal, block_q=bq,
@@ -368,8 +384,9 @@ def flash_attention_bwd(q, k, v, o, lse, do, valid_len,
                 pl.BlockSpec((1, 1, bk, D),
                              lambda b, h, j, _: (b, h // rep, j, 0)),
                 pl.BlockSpec((1, 1, Sq, D), lambda b, h, j, _: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, Sq), lambda b, h, j, _: (b, h, 0)),
-                pl.BlockSpec((1, 1, Sq), lambda b, h, j, _: (b, h, 0)),
+                pl.BlockSpec((1, 1, Sq, D), lambda b, h, j, _: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, Sq, 128),
+                             lambda b, h, j, _: (b, h, 0, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, bk, D), lambda b, h, j, _: (b, h, j, 0)),
@@ -384,7 +401,7 @@ def flash_attention_bwd(q, k, v, o, lse, do, valid_len,
             * qt.dtype.itemsize,
             transcendentals=B * Hq * Sq * Sk),
         interpret=interpret,
-    )(valid_len.astype(jnp.int32), qt, kt, vt, dot, lse, delta)
+    )(valid_len.astype(jnp.int32), qt, kt, vt, dot, ot, lse)
 
     dq = dq.transpose(0, 2, 1, 3)
     # GQA: sum query-head grads within each kv group

@@ -53,17 +53,25 @@ class ModelWorker:
                  num_frames: Optional[int] = None,
                  dynamic_batch: bool = False,
                  speculative_k: int = 0,
-                 session_cache: int = 2):
+                 session_cache: int = 2,
+                 preloaded=None):
         from ..inference import api as api_lib
         from ..multimodal.tokenizer import get_model_name_from_path
 
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.model_name = model_name or get_model_name_from_path(model_path)
-        logger.info(f"Loading model {self.model_name} on worker "
-                    f"{worker_id} ...")
-        self.model, self.processor, self.tokenizer = api_lib.model_init(
-            model_path)
+        if preloaded is not None:
+            # share an already-loaded (model, processor, tokenizer) — a 7B
+            # weight tree fills most of a 16 GB chip, so embedders that run
+            # several worker configs (scripts/bench_serving.py) must not
+            # load it twice
+            self.model, self.processor, self.tokenizer = preloaded
+        else:
+            logger.info(f"Loading model {self.model_name} on worker "
+                        f"{worker_id} ...")
+            self.model, self.processor, self.tokenizer = api_lib.model_init(
+                model_path)
         self.batcher = None
         if dynamic_batch:
             from .batching import DynamicBatcher
