@@ -39,32 +39,26 @@ run() {
   echo "$(date +%T) DONE $name rc=$?" >> /tmp/tpu_queue/status.log
 }
 
-# ---- round 5 queue ----
-# int8 KV cache decode floor (VERDICT r5 #1 gate: <=12.2 ms/tok int8/B=8).
-# MAXLEN=2048 so the quantized kernel gets a 512-row pipelined block; the
-# kv16 run at the same MAXLEN is the same-weather baseline.
-run profile_decode_kv8 1200 env KV_BITS=8 MAXLEN=2048 python scripts/profile_decode.py
-run profile_decode_kv16 1200 env MAXLEN=2048 python scripts/profile_decode.py
-# int4 weights + int8 KV (gate: <=9.7 ms/tok)
-run profile_decode_int4_kv8 1200 env BITS=4 KV_BITS=8 MAXLEN=2048 python scripts/profile_decode.py
-# B=16 decode over the halved cache (the headline lever)
-run profile_decode_kv8_b16 1200 env KV_BITS=8 MAXLEN=2048 B=16 python scripts/profile_decode.py
-# headline bench candidates: B=16 + kv8, and B=8 + kv8 for comparison
-run bench_b16_kv8 2400 env BENCH_BATCH=16 BENCH_KV_BITS=8 python bench.py
-run bench_b8_kv8 2400 env BENCH_KV_BITS=8 python bench.py
-# quiet re-runs (VERDICT r5 #6): int4 and qwen2 headline configs
-run bench_int4 2400 env BENCH_BITS=4 python bench.py
-run bench_qwen2 2400 env BENCH_MODEL=qwen2 python bench.py
-# training step attribution (VERDICT r5 #3)
+# ---- round 5b queue (re-runs after the Mosaic LSE fix + serving fix) ----
+# driver-path validation: plain bench.py now defaults to B=16 + kv8
+run bench_default 2400 python bench.py
+# training step attribution (VERDICT r5 #3) — first TPU exercise of the
+# tiled Pallas flash backward (the 5a run died on the [B,H,S] LSE layout)
 run profile_train_attrib 2400 env ATTRIB=1 python scripts/profile_train.py
+# the reference SFT seq length with the tiled backward (gate: >=60 TF/s
+# useful or an airtight floor analysis)
+run profile_train_s2048 2400 env TRAIN_S=2048 TRAIN_B=4 python scripts/profile_train.py
 # 7B int8 continuous-batching serving (VERDICT r5 #4): synthetic on-device
 # weights through the real worker/batcher stack; tokenizer from the tiny
-# offline checkpoint (ids are a subset of the 32k vocab)
+# offline checkpoint (ids are a subset of the 32k vocab). bench_serving now
+# loads ONE model bundle shared across serial+dynamic (the 5a run OOM'd
+# loading a second 7B tree)
 python scripts/make_tiny_checkpoint.py > /tmp/tpu_queue/make_ckpt.out 2>&1
 run bench_serving_7b 3000 python scripts/bench_serving.py \
   --model-path "synthetic://videollama2_mistral?bits=8&kv_bits=8&max_len=512&tokenizer=/tmp/tiny_vllama2_ckpt" \
   --platform tpu --requests 24 --concurrency 8 --max-new-tokens 64
-# NOTE: the headline bench default config is still run by the driver at
-# round end; run `python bench.py` manually while iterating.
+# 7B QLoRA step with the tiled backward (was 889 ms/step with the XLA
+# probs-materializing backward)
+run profile_train_qlora 2400 env TRAIN_SIZE=7b-lora TRAIN_BITS=4 TRAIN_B=1 python scripts/profile_train.py
 
 echo "$(date +%T) queue complete" >> /tmp/tpu_queue/status.log
