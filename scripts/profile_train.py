@@ -11,6 +11,7 @@ DeepSpeed and is never measured standalone; this gives the rebuild a
 per-chip training baseline to scale with the mesh.
 """
 
+import functools
 import os
 import sys
 import time
@@ -127,11 +128,26 @@ def main():
     print(f"compile+first step: {time.time()-t0:.1f}s loss={float(loss):.3f}",
           file=sys.stderr, flush=True)
 
+    # ONE-dispatch multi-step loop: a host loop of K dispatches pays the
+    # tunnel's per-RPC queueing K times and inflates under load (the 5a
+    # attribution run measured a 73 ms "attention fwd" whose compute is
+    # ~10 us); a fori_loop carrying the train state serializes K genuine
+    # steps inside a single program, so the wall clock is device time
+    # + one RPC (the same design that makes profile_decode load-robust)
     iters = 8 if on_tpu else 2
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def steps_loop(st, b):
+        def body(i, s):
+            s2, _ = train_step(s, b)
+            return s2
+        return jax.lax.fori_loop(0, iters, body, st)
+
+    state = steps_loop(state, batch)          # compile + warm
+    np.asarray(jax.tree.leaves(state.params)[0].ravel()[:1])
     t0 = time.time()
-    for _ in range(iters):
-        state, metrics = train_step(state, batch)
-    np.asarray(metrics["loss"])
+    state = steps_loop(state, batch)
+    np.asarray(jax.tree.leaves(state.params)[0].ravel()[:1])
     dt = (time.time() - t0) / iters
 
     if os.environ.get("ATTRIB", "0") == "1":
@@ -159,16 +175,25 @@ def main():
 
 def _attribution(cfg, state, batch, train_step, tx, mask, remat, t_step,
                  on_tpu, size):
-    """Component attribution of the train step (VERDICT r5 #3): time each
-    stage as its own jitted program with device-readback syncs, then report
-    the residual. Mirrors the decode floor table in docs/DESIGN.md."""
+    """Component attribution of the train step (VERDICT r5 #3), mirroring
+    the decode floor table in docs/DESIGN.md.
+
+    Every stage runs as ONE dispatch: a jitted fori_loop of R repetitions
+    whose carry feeds each iteration's output into the next iteration's
+    input, so XLA can neither hoist the stage out of the loop (inputs are
+    loop-variant) nor DCE its backward (every grad leaf feeds the carry).
+    Host-looped per-stage dispatches are useless on this backend — the
+    tunnel's per-RPC queueing under load dwarfs small-stage compute (the
+    first TPU attribution run measured 73 ms for an attention forward whose
+    compute is ~10 us, and a negative derived backward). A null dispatch is
+    timed and subtracted so sub-ms stages stay meaningful.
+    """
     import jax
     import jax.numpy as jnp
     import optax
 
     from videollama2_tpu.models import llm as llm_lib
     from videollama2_tpu.models import videollama2 as vl2
-    from videollama2_tpu.multimodal import splice as splice_lib
     from videollama2_tpu.ops import attention as attn_ops
     from videollama2_tpu.train import step as step_lib
 
@@ -176,37 +201,66 @@ def _attribution(cfg, state, batch, train_step, tx, mask, remat, t_step,
     params = state.params
     B, S = batch.text_ids.shape
     lcfg = cfg.llm
-    iters = 4 if on_tpu else 1
+    R = int(os.environ.get("ATTRIB_REPS", "8" if on_tpu else "1"))
+
+    def sync(tree):
+        np.asarray(jax.tree.leaves(tree)[0]).ravel()[:1]
+
+    # dispatch+readback floor, subtracted from every stage
+    null = jax.jit(lambda x: x + 1.0)
+    z = jnp.zeros(())
+    sync(null(z))
+    t0 = time.time()
+    sync(null(z))
+    t_null = time.time() - t0
 
     def timed(name, fn, *args):
         out = fn(*args)                      # compile + warmup
-        np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+        sync(out)
         t0 = time.time()
-        for _ in range(iters):
-            out = fn(*args)
-        np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
-        dt = (time.time() - t0) / iters
+        out = fn(*args)
+        sync(out)
+        dt = max(time.time() - t0 - t_null, 0.0) / R
         print(f"  {name:<28} {dt*1e3:9.1f} ms", flush=True)
         return dt
 
-    print(f"[attribution] step={t_step*1e3:.1f} ms  B={B} S={S}",
+    print(f"[attribution] step={t_step*1e3:.1f} ms  B={B} S={S}  "
+          f"reps/dispatch={R}  null dispatch {t_null*1e3:.1f} ms",
           flush=True)
+
+    frames0 = jnp.asarray(batch.frames)
+
+    def bump_like(x, scalar):
+        # data-dependent zero: tanh(scalar)*1e-30 rounds to 0 at runtime
+        # but the compiler cannot prove it, so the carry chain is real
+        return (jnp.tanh(scalar.astype(jnp.float32)) * 1e-30).astype(x.dtype)
 
     # 1. full forward (loss only)
     @jax.jit
     def fwd_only(params, b):
-        loss, _ = step_lib._loss_fn(params, cfg, b, dtype, "auto", None,
-                                    remat)
-        return loss
+        def body(i, carry):
+            acc, fr = carry
+            loss, _ = step_lib._loss_fn(params, cfg, b._replace(frames=fr),
+                                        dtype, "auto", None, remat)
+            return acc + loss, fr + bump_like(fr, loss)
+        acc, _ = jax.lax.fori_loop(0, R, body, (jnp.float32(0), frames0))
+        return acc
     t_fwd = timed("forward (loss only)", fwd_only, params, batch)
 
-    # 2. grads (no optimizer)
+    # 2. grads (no optimizer); every grad leaf feeds the carry
     @jax.jit
     def grad_only(params, b):
-        (loss, _), grads = jax.value_and_grad(
-            step_lib._loss_fn, has_aux=True)(params, cfg, b, dtype, "auto",
-                                             None, remat)
-        return loss, grads
+        def body(i, carry):
+            acc, fr = carry
+            (loss, _), grads = jax.value_and_grad(
+                step_lib._loss_fn, has_aux=True)(
+                    params, cfg, b._replace(frames=fr), dtype, "auto", None,
+                    remat)
+            touch = sum(g.ravel()[0].astype(jnp.float32)
+                        for g in jax.tree.leaves(grads))
+            return acc + loss + touch * 1e-30, fr + bump_like(fr, loss)
+        acc, _ = jax.lax.fori_loop(0, R, body, (jnp.float32(0), frames0))
+        return acc
     try:
         t_grad = timed("forward+backward", grad_only, params, batch)
     except Exception as e:  # QLoRA int8 bases can't be cotangents
@@ -216,87 +270,114 @@ def _attribution(cfg, state, batch, train_step, tx, mask, remat, t_step,
 
     # 3. frozen tower + connector (inside the fwd)
     @jax.jit
-    def vit_only(params, frames):
-        return vl2.encode_frames(params, cfg, frames)
-    t_vit = timed("ViT+connector encode", vit_only, params,
-                  jnp.asarray(batch.frames))
+    def vit_loop(params, fr0):
+        def body(i, carry):
+            acc, fr = carry
+            feats = vl2.encode_frames(params, cfg, fr)
+            m = jnp.mean(feats.astype(jnp.float32))
+            return acc + m, fr + bump_like(fr, m)
+        acc, _ = jax.lax.fori_loop(0, R, body, (jnp.float32(0), frames0))
+        return acc
+    t_vit = timed("ViT+connector encode", vit_loop, params, frames0)
 
-    # 4. LLM forward alone on pre-spliced embeds
-    embeds = jnp.zeros((B, S, lcfg.hidden_size), dtype)
+    # 4. LLM forward alone on pre-spliced embeds (h feeds the next input)
     positions = jnp.asarray(batch.positions)
     valid = jnp.asarray(batch.valid_len)
 
     @jax.jit
-    def llm_fwd(params, e):
-        h, _ = llm_lib.forward(params["llm"], lcfg, e, positions, valid,
-                               attn_impl="auto", remat=remat)
-        return h
-    t_llm_fwd = timed("LLM forward (scan)", llm_fwd, params, embeds)
+    def llm_fwd(params, e0):
+        def body(i, e):
+            h, _ = llm_lib.forward(params["llm"], lcfg, e, positions, valid,
+                                   attn_impl="auto", remat=remat)
+            return jnp.tanh(h)
+        return jax.lax.fori_loop(0, R, body, e0)
+    t_llm_fwd = timed("LLM forward (scan)", llm_fwd, params,
+                      jnp.zeros((B, S, lcfg.hidden_size), dtype))
 
-    # 5. lm_head + CE loss fwd+bwd (the [B*S, D] x [D, V] pair)
-    hidden = jnp.zeros((B, S, lcfg.hidden_size), dtype)
+    # 5. lm_head + CE loss fwd+bwd (the [B*S, D] x [D, V] pair); dh -> h
     labels = jnp.asarray(batch.labels)
 
     @jax.jit
-    def head_loss_grad(params, h):
+    def head_loss_grad(params, h0):
         def f(h):
             logits = llm_lib.lm_logits(params["llm"], lcfg, h)
             lab = jnp.maximum(labels[:, 1:], 0)
             logp = jax.nn.log_softmax(logits[:, :-1], -1)
-            return -jnp.take_along_axis(logp, lab[..., None],
-                                        -1).mean()
-        return jax.value_and_grad(f)(h)
-    t_head = timed("lm_head+CE fwd+bwd", head_loss_grad, params, hidden)
+            return -jnp.take_along_axis(logp, lab[..., None], -1).mean()
+        def body(i, carry):
+            acc, h = carry
+            loss, dh = jax.value_and_grad(f)(h)
+            return acc + loss, jnp.tanh(dh) * 0.1
+        acc, _ = jax.lax.fori_loop(0, R, body,
+                                   (jnp.float32(0), h0))
+        return acc
+    t_head = timed("lm_head+CE fwd+bwd", head_loss_grad, params,
+                   jnp.zeros((B, S, lcfg.hidden_size), dtype))
 
-    # 6. attention fwd / bwd at the training shape, x num_layers
-    H, Kh, hd = lcfg.num_heads, lcfg.num_kv_heads, lcfg.head_dim
-    rng = jax.random.PRNGKey(0)
-    q = jax.random.normal(rng, (B, S, H, hd), dtype) * 0.1
-    k = jax.random.normal(rng, (B, S, Kh, hd), dtype) * 0.1
-    v = jax.random.normal(rng, (B, S, Kh, hd), dtype) * 0.1
+    # 6. attention fwd / bwd at the training shape (x num_layers derived)
+    Hh, Kh, hd = lcfg.num_heads, lcfg.num_kv_heads, lcfg.head_dim
+    rngk = jax.random.PRNGKey(0)
+    q0 = jax.random.normal(rngk, (B, S, Hh, hd), dtype) * 0.1
+    k0 = jax.random.normal(rngk, (B, S, Kh, hd), dtype) * 0.1
+    v0 = jax.random.normal(rngk, (B, S, Kh, hd), dtype) * 0.1
     L = lcfg.num_layers
+    impl = "pallas" if on_tpu else "xla"
 
-    @jax.jit
-    def attn_fwd(q, k, v):
-        return attn_ops.attend(q, k, v, valid_len=valid, causal=True,
-                               impl="pallas" if on_tpu else "xla")
-    t_attn_f = timed("attention fwd (1 layer)", attn_fwd, q, k, v)
+    def make_attn_fwd(impl):
+        @jax.jit
+        def attn_fwd(qq, k, v):
+            def body(i, q):
+                o = attn_ops.attend(q, k, v, valid_len=valid, causal=True,
+                                    impl=impl)
+                return o.astype(q.dtype)
+            return jax.lax.fori_loop(0, R, body, qq)
+        return attn_fwd
+    t_attn_f = timed("attention fwd (1 layer)", make_attn_fwd(impl),
+                     q0, k0, v0)
 
-    @jax.jit
-    def attn_grad(q, k, v):
-        def f(q, k, v):
-            o = attn_ops.attend(q, k, v, valid_len=valid, causal=True,
-                                impl="pallas" if on_tpu else "xla")
-            return jnp.sum(o.astype(jnp.float32) ** 2)
-        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
-    t_attn_fb = timed("attention fwd+bwd (1 layer)", attn_grad, q, k, v)
-
-    @jax.jit
-    def attn_grad_xla(q, k, v):
-        def f(q, k, v):
-            o = attn_ops.attend(q, k, v, valid_len=valid, causal=True,
-                                impl="xla")
-            return jnp.sum(o.astype(jnp.float32) ** 2)
-        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    def make_attn_grad(impl):
+        @jax.jit
+        def attn_grad(qq, kk, vv):
+            def f(q, k, v):
+                o = attn_ops.attend(q, k, v, valid_len=valid, causal=True,
+                                    impl=impl)
+                return jnp.sum(o.astype(jnp.float32) ** 2)
+            def body(i, carry):
+                q, k, v = carry
+                dq, dk, dv = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+                return (jnp.tanh(dq) * 0.1, jnp.tanh(dk) * 0.1,
+                        jnp.tanh(dv) * 0.1)
+            return jax.lax.fori_loop(0, R, body, (qq, kk, vv))
+        return attn_grad
+    t_attn_fb = timed("attention fwd+bwd (1 layer)", make_attn_grad(impl),
+                      q0, k0, v0)
     try:
-        t_attn_fb_xla = timed("attention fwd+bwd XLA ref", attn_grad_xla,
-                              q, k, v)
+        t_attn_fb_xla = timed("attention fwd+bwd XLA ref",
+                              make_attn_grad("xla"), q0, k0, v0)
     except Exception as e:
         print(f"  attention fwd+bwd XLA ref  OOM/err ({type(e).__name__})",
               flush=True)
         t_attn_fb_xla = float("nan")
 
-    # 7. optimizer update isolated
+    # 7. optimizer update isolated (params + opt state carried)
     if t_grad is not None:
-        _, grads = grad_only(params, batch)
+        @jax.jit
+        def grads_once(params, b):
+            _, grads = jax.value_and_grad(
+                step_lib._loss_fn, has_aux=True)(params, cfg, b, dtype,
+                                                 "auto", None, remat)
+            return grads
+        grads = grads_once(params, batch)
 
         @jax.jit
-        def opt_only(grads, state):
-            updates, new_opt = tx.update(grads, state.opt_state,
-                                         state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            return new_params
-        t_opt = timed("optimizer update", opt_only, grads, state)
+        def opt_loop(grads, params, opt_state):
+            def body(i, carry):
+                p, o = carry
+                updates, o2 = tx.update(grads, o, p)
+                return optax.apply_updates(p, updates), o2
+            return jax.lax.fori_loop(0, R, body, (params, opt_state))
+        t_opt = timed("optimizer update", opt_loop, grads, params,
+                      state.opt_state)
     else:
         t_opt = float("nan")
 
