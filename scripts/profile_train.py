@@ -128,26 +128,17 @@ def main():
     print(f"compile+first step: {time.time()-t0:.1f}s loss={float(loss):.3f}",
           file=sys.stderr, flush=True)
 
-    # ONE-dispatch multi-step loop: a host loop of K dispatches pays the
-    # tunnel's per-RPC queueing K times and inflates under load (the 5a
-    # attribution run measured a 73 ms "attention fwd" whose compute is
-    # ~10 us); a fori_loop carrying the train state serializes K genuine
-    # steps inside a single program, so the wall clock is device time
-    # + one RPC (the same design that makes profile_decode load-robust)
+    # host loop of async dispatches + ONE readback: the dispatches pipeline
+    # on the device so per-RPC queueing amortizes to ~1 RPC total. (A
+    # fori_loop-of-steps variant was tried and REVERTED: wrapping the
+    # donated train_step in a loop body ignores donation, so params/opt
+    # copies inflated the step 13% — 587.5 vs 519.8 ms at S=2048 B=4.
+    # Donation-preserving host loop measures the production configuration.)
     iters = 8 if on_tpu else 2
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def steps_loop(st, b):
-        def body(i, s):
-            s2, _ = train_step(s, b)
-            return s2
-        return jax.lax.fori_loop(0, iters, body, st)
-
-    state = steps_loop(state, batch)          # compile + warm
-    np.asarray(jax.tree.leaves(state.params)[0].ravel()[:1])
     t0 = time.time()
-    state = steps_loop(state, batch)
-    np.asarray(jax.tree.leaves(state.params)[0].ravel()[:1])
+    for _ in range(iters):
+        state, metrics = train_step(state, batch)
+    np.asarray(metrics["loss"])
     dt = (time.time() - t0) / iters
 
     if os.environ.get("ATTRIB", "0") == "1":
@@ -178,15 +169,17 @@ def _attribution(cfg, state, batch, train_step, tx, mask, remat, t_step,
     """Component attribution of the train step (VERDICT r5 #3), mirroring
     the decode floor table in docs/DESIGN.md.
 
-    Every stage runs as ONE dispatch: a jitted fori_loop of R repetitions
-    whose carry feeds each iteration's output into the next iteration's
-    input, so XLA can neither hoist the stage out of the loop (inputs are
-    loop-variant) nor DCE its backward (every grad leaf feeds the carry).
-    Host-looped per-stage dispatches are useless on this backend — the
-    tunnel's per-RPC queueing under load dwarfs small-stage compute (the
-    first TPU attribution run measured 73 ms for an attention forward whose
-    compute is ~10 us, and a negative derived backward). A null dispatch is
-    timed and subtracted so sub-ms stages stay meaningful.
+    Tunnel-robust design (the first two TPU runs were noise):
+      * every stage is ONE dispatch — a jitted fori_loop of R repetitions
+        whose carry feeds each iteration's output into the next input, so
+        XLA can neither hoist the stage out of the loop nor DCE its
+        backward (every grad leaf touches the carry);
+      * R is per-stage, sized so device work dominates the tunnel's
+        per-RPC jitter (an attention layer here is ~0.1 ms of compute —
+        against a ~40 ms RPC floor it needs thousands of reps);
+      * each stage takes the MIN of several dispatch samples (queue delay
+        is one-sided additive noise) and subtracts a min-sampled null
+        dispatch.
     """
     import jax
     import jax.numpy as jnp
@@ -201,32 +194,47 @@ def _attribution(cfg, state, batch, train_step, tx, mask, remat, t_step,
     params = state.params
     B, S = batch.text_ids.shape
     lcfg = cfg.llm
-    R = int(os.environ.get("ATTRIB_REPS", "8" if on_tpu else "1"))
+    # reps per dispatch: heavy (full fwd/grad), medium (single-module
+    # forwards, optimizer), light (per-layer attention / head)
+    if on_tpu:
+        RH = int(os.environ.get("ATTRIB_REPS_HEAVY", "8"))
+        RM = int(os.environ.get("ATTRIB_REPS_MED", "32"))
+        RL = int(os.environ.get("ATTRIB_REPS_LIGHT", "4096"))
+    else:
+        RH, RM, RL = 1, 1, 2
+    SAMPLES = int(os.environ.get("ATTRIB_SAMPLES", "5" if on_tpu else "1"))
 
     def sync(tree):
         np.asarray(jax.tree.leaves(tree)[0]).ravel()[:1]
 
-    # dispatch+readback floor, subtracted from every stage
-    null = jax.jit(lambda x: x + 1.0)
-    z = jnp.zeros(())
-    sync(null(z))
-    t0 = time.time()
-    sync(null(z))
-    t_null = time.time() - t0
+    def min_time(fn, *args):
+        out = fn(*args)                       # compile + warm
+        sync(out)
+        best = float("inf")
+        for _ in range(SAMPLES):
+            t0 = time.time()
+            out = fn(*args)
+            sync(out)
+            best = min(best, time.time() - t0)
+        return best
 
-    def timed(name, fn, *args):
-        out = fn(*args)                      # compile + warmup
-        sync(out)
-        t0 = time.time()
-        out = fn(*args)
-        sync(out)
-        dt = max(time.time() - t0 - t_null, 0.0) / R
-        print(f"  {name:<28} {dt*1e3:9.1f} ms", flush=True)
+    null = jax.jit(lambda x: x + 1.0)
+    t_null = min_time(null, jnp.zeros(()))
+
+    def timed(name, make_fn, reps, *args):
+        try:
+            fn = make_fn(reps)
+            dt = max(min_time(fn, *args) - t_null, 0.0) / reps
+        except Exception as e:  # noqa: BLE001 - report and keep attributing
+            print(f"  {name:<28} skipped: {repr(e)[:200]}", flush=True)
+            return None
+        print(f"  {name:<28} {dt*1e3:9.2f} ms  (x{reps}/dispatch)",
+              flush=True)
         return dt
 
     print(f"[attribution] step={t_step*1e3:.1f} ms  B={B} S={S}  "
-          f"reps/dispatch={R}  null dispatch {t_null*1e3:.1f} ms",
-          flush=True)
+          f"reps H/M/L={RH}/{RM}/{RL} min-of-{SAMPLES}  "
+          f"null dispatch {t_null*1e3:.1f} ms", flush=True)
 
     frames0 = jnp.asarray(batch.frames)
 
@@ -236,82 +244,87 @@ def _attribution(cfg, state, batch, train_step, tx, mask, remat, t_step,
         return (jnp.tanh(scalar.astype(jnp.float32)) * 1e-30).astype(x.dtype)
 
     # 1. full forward (loss only)
-    @jax.jit
-    def fwd_only(params, b):
-        def body(i, carry):
-            acc, fr = carry
-            loss, _ = step_lib._loss_fn(params, cfg, b._replace(frames=fr),
-                                        dtype, "auto", None, remat)
-            return acc + loss, fr + bump_like(fr, loss)
-        acc, _ = jax.lax.fori_loop(0, R, body, (jnp.float32(0), frames0))
-        return acc
-    t_fwd = timed("forward (loss only)", fwd_only, params, batch)
-
-    # 2. grads (no optimizer); every grad leaf feeds the carry
-    @jax.jit
-    def grad_only(params, b):
-        def body(i, carry):
-            acc, fr = carry
-            (loss, _), grads = jax.value_and_grad(
-                step_lib._loss_fn, has_aux=True)(
+    def make_fwd(R):
+        @jax.jit
+        def fwd_only(params, b):
+            def body(i, carry):
+                acc, fr = carry
+                loss, _ = step_lib._loss_fn(
                     params, cfg, b._replace(frames=fr), dtype, "auto", None,
                     remat)
-            touch = sum(g.ravel()[0].astype(jnp.float32)
-                        for g in jax.tree.leaves(grads))
-            return acc + loss + touch * 1e-30, fr + bump_like(fr, loss)
-        acc, _ = jax.lax.fori_loop(0, R, body, (jnp.float32(0), frames0))
-        return acc
-    try:
-        t_grad = timed("forward+backward", grad_only, params, batch)
-    except Exception as e:  # QLoRA int8 bases can't be cotangents
-        print(f"  forward+backward           skipped ({type(e).__name__})",
-              flush=True)
-        t_grad = None
+                return acc + loss, fr + bump_like(fr, loss)
+            acc, _ = jax.lax.fori_loop(0, R, body, (jnp.float32(0), frames0))
+            return acc
+        return fwd_only
+    t_fwd = timed("forward (loss only)", make_fwd, RH, params, batch)
+
+    # 2. grads (no optimizer); every grad leaf feeds the carry
+    def make_grad(R):
+        @jax.jit
+        def grad_only(params, b):
+            def body(i, carry):
+                acc, fr = carry
+                (loss, _), grads = jax.value_and_grad(
+                    step_lib._loss_fn, has_aux=True)(
+                        params, cfg, b._replace(frames=fr), dtype, "auto",
+                        None, remat)
+                touch = sum(g.ravel()[0].astype(jnp.float32)
+                            for g in jax.tree.leaves(grads))
+                return acc + loss + touch * 1e-30, fr + bump_like(fr, loss)
+            acc, _ = jax.lax.fori_loop(0, R, body, (jnp.float32(0), frames0))
+            return acc
+        return grad_only
+    t_grad = timed("forward+backward", make_grad, RH, params, batch)
 
     # 3. frozen tower + connector (inside the fwd)
-    @jax.jit
-    def vit_loop(params, fr0):
-        def body(i, carry):
-            acc, fr = carry
-            feats = vl2.encode_frames(params, cfg, fr)
-            m = jnp.mean(feats.astype(jnp.float32))
-            return acc + m, fr + bump_like(fr, m)
-        acc, _ = jax.lax.fori_loop(0, R, body, (jnp.float32(0), frames0))
-        return acc
-    t_vit = timed("ViT+connector encode", vit_loop, params, frames0)
+    def make_vit(R):
+        @jax.jit
+        def vit_loop(params, fr0):
+            def body(i, carry):
+                acc, fr = carry
+                feats = vl2.encode_frames(params, cfg, fr)
+                m = jnp.mean(feats.astype(jnp.float32))
+                return acc + m, fr + bump_like(fr, m)
+            acc, _ = jax.lax.fori_loop(0, R, body, (jnp.float32(0), fr0))
+            return acc
+        return vit_loop
+    t_vit = timed("ViT+connector encode", make_vit, RM, params, frames0)
 
     # 4. LLM forward alone on pre-spliced embeds (h feeds the next input)
     positions = jnp.asarray(batch.positions)
     valid = jnp.asarray(batch.valid_len)
 
-    @jax.jit
-    def llm_fwd(params, e0):
-        def body(i, e):
-            h, _ = llm_lib.forward(params["llm"], lcfg, e, positions, valid,
-                                   attn_impl="auto", remat=remat)
-            return jnp.tanh(h)
-        return jax.lax.fori_loop(0, R, body, e0)
-    t_llm_fwd = timed("LLM forward (scan)", llm_fwd, params,
+    def make_llm_fwd(R):
+        @jax.jit
+        def llm_fwd(params, e0):
+            def body(i, e):
+                h, _ = llm_lib.forward(params["llm"], lcfg, e, positions,
+                                       valid, attn_impl="auto", remat=remat)
+                return jnp.tanh(h)
+            return jax.lax.fori_loop(0, R, body, e0)
+        return llm_fwd
+    t_llm_fwd = timed("LLM forward (scan)", make_llm_fwd, RM, params,
                       jnp.zeros((B, S, lcfg.hidden_size), dtype))
 
     # 5. lm_head + CE loss fwd+bwd (the [B*S, D] x [D, V] pair); dh -> h
     labels = jnp.asarray(batch.labels)
 
-    @jax.jit
-    def head_loss_grad(params, h0):
-        def f(h):
-            logits = llm_lib.lm_logits(params["llm"], lcfg, h)
-            lab = jnp.maximum(labels[:, 1:], 0)
-            logp = jax.nn.log_softmax(logits[:, :-1], -1)
-            return -jnp.take_along_axis(logp, lab[..., None], -1).mean()
-        def body(i, carry):
-            acc, h = carry
-            loss, dh = jax.value_and_grad(f)(h)
-            return acc + loss, jnp.tanh(dh) * 0.1
-        acc, _ = jax.lax.fori_loop(0, R, body,
-                                   (jnp.float32(0), h0))
-        return acc
-    t_head = timed("lm_head+CE fwd+bwd", head_loss_grad, params,
+    def make_head(R):
+        @jax.jit
+        def head_loss_grad(params, h0):
+            def f(h):
+                logits = llm_lib.lm_logits(params["llm"], lcfg, h)
+                lab = jnp.maximum(labels[:, 1:], 0)
+                logp = jax.nn.log_softmax(logits[:, :-1], -1)
+                return -jnp.take_along_axis(logp, lab[..., None], -1).mean()
+            def body(i, carry):
+                acc, h = carry
+                loss, dh = jax.value_and_grad(f)(h)
+                return acc + loss, jnp.tanh(dh) * 0.1
+            acc, _ = jax.lax.fori_loop(0, R, body, (jnp.float32(0), h0))
+            return acc
+        return head_loss_grad
+    t_head = timed("lm_head+CE fwd+bwd", make_head, RM, params,
                    jnp.zeros((B, S, lcfg.hidden_size), dtype))
 
     # 6. attention fwd / bwd at the training shape (x num_layers derived)
@@ -324,42 +337,42 @@ def _attribution(cfg, state, batch, train_step, tx, mask, remat, t_step,
     impl = "pallas" if on_tpu else "xla"
 
     def make_attn_fwd(impl):
-        @jax.jit
-        def attn_fwd(qq, k, v):
-            def body(i, q):
-                o = attn_ops.attend(q, k, v, valid_len=valid, causal=True,
-                                    impl=impl)
-                return o.astype(q.dtype)
-            return jax.lax.fori_loop(0, R, body, qq)
-        return attn_fwd
-    t_attn_f = timed("attention fwd (1 layer)", make_attn_fwd(impl),
+        def make(R):
+            @jax.jit
+            def attn_fwd(qq, k, v):
+                def body(i, q):
+                    o = attn_ops.attend(q, k, v, valid_len=valid,
+                                        causal=True, impl=impl)
+                    return o.astype(q.dtype)
+                return jax.lax.fori_loop(0, R, body, qq)
+            return attn_fwd
+        return make
+    t_attn_f = timed("attention fwd (1 layer)", make_attn_fwd(impl), RL,
                      q0, k0, v0)
 
     def make_attn_grad(impl):
-        @jax.jit
-        def attn_grad(qq, kk, vv):
-            def f(q, k, v):
-                o = attn_ops.attend(q, k, v, valid_len=valid, causal=True,
-                                    impl=impl)
-                return jnp.sum(o.astype(jnp.float32) ** 2)
-            def body(i, carry):
-                q, k, v = carry
-                dq, dk, dv = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
-                return (jnp.tanh(dq) * 0.1, jnp.tanh(dk) * 0.1,
-                        jnp.tanh(dv) * 0.1)
-            return jax.lax.fori_loop(0, R, body, (qq, kk, vv))
-        return attn_grad
+        def make(R):
+            @jax.jit
+            def attn_grad(qq, kk, vv):
+                def f(q, k, v):
+                    o = attn_ops.attend(q, k, v, valid_len=valid,
+                                        causal=True, impl=impl)
+                    return jnp.sum(o.astype(jnp.float32) ** 2)
+                def body(i, carry):
+                    q, k, v = carry
+                    dq, dk, dv = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+                    return (jnp.tanh(dq) * 0.1, jnp.tanh(dk) * 0.1,
+                            jnp.tanh(dv) * 0.1)
+                return jax.lax.fori_loop(0, R, body, (qq, kk, vv))
+            return attn_grad
+        return make
     t_attn_fb = timed("attention fwd+bwd (1 layer)", make_attn_grad(impl),
-                      q0, k0, v0)
-    try:
-        t_attn_fb_xla = timed("attention fwd+bwd XLA ref",
-                              make_attn_grad("xla"), q0, k0, v0)
-    except Exception as e:
-        print(f"  attention fwd+bwd XLA ref  OOM/err ({type(e).__name__})",
-              flush=True)
-        t_attn_fb_xla = float("nan")
+                      RL, q0, k0, v0)
+    t_attn_fb_xla = timed("attention fwd+bwd XLA ref", make_attn_grad("xla"),
+                          RL, q0, k0, v0)
 
     # 7. optimizer update isolated (params + opt state carried)
+    t_opt = None
     if t_grad is not None:
         @jax.jit
         def grads_once(params, b):
@@ -369,39 +382,47 @@ def _attribution(cfg, state, batch, train_step, tx, mask, remat, t_step,
             return grads
         grads = grads_once(params, batch)
 
-        @jax.jit
-        def opt_loop(grads, params, opt_state):
-            def body(i, carry):
-                p, o = carry
-                updates, o2 = tx.update(grads, o, p)
-                return optax.apply_updates(p, updates), o2
-            return jax.lax.fori_loop(0, R, body, (params, opt_state))
-        t_opt = timed("optimizer update", opt_loop, grads, params,
+        def make_opt(R):
+            @jax.jit
+            def opt_loop(grads, params, opt_state):
+                def body(i, carry):
+                    p, o = carry
+                    updates, o2 = tx.update(grads, o, p)
+                    return optax.apply_updates(p, updates), o2
+                return jax.lax.fori_loop(0, R, body, (params, opt_state))
+            return opt_loop
+        t_opt = timed("optimizer update", make_opt, RM, grads, params,
                       state.opt_state)
-    else:
-        t_opt = float("nan")
 
     print("[attribution] derived:", flush=True)
-    attn_f_all = t_attn_f * L
-    attn_b_all = (t_attn_fb - t_attn_f) * L
-    print(f"  attention fwd x{L}: {attn_f_all*1e3:.1f} ms | "
-          f"attention bwd x{L}: {attn_b_all*1e3:.1f} ms "
-          f"(XLA-ref bwd would be "
-          f"{(t_attn_fb_xla - t_attn_f) * L * 1e3:.1f} ms)", flush=True)
-    if t_grad is not None:
+    if t_attn_f is not None and t_attn_fb is not None:
+        attn_f_all = t_attn_f * L
+        attn_b_all = (t_attn_fb - t_attn_f) * L
+        xla_note = ("" if t_attn_fb_xla is None else
+                    f" (XLA-ref bwd would be "
+                    f"{(t_attn_fb_xla - t_attn_f) * L * 1e3:.1f} ms)")
+        print(f"  attention fwd x{L}: {attn_f_all*1e3:.1f} ms | "
+              f"attention bwd x{L}: {attn_b_all*1e3:.1f} ms{xla_note}",
+              flush=True)
+    else:
+        attn_b_all = float("nan")
+    if t_grad is not None and t_fwd is not None and t_opt is not None:
         # full remat: grad = fwd + re-forward (~= llm fwd) + bwd proper
-        reforward = t_llm_fwd if remat is True else 0.0
+        reforward = t_llm_fwd if (remat is True
+                                  and t_llm_fwd is not None) else 0.0
         bwd_proper = t_grad - t_fwd - reforward
         print(f"  step {t_step*1e3:.1f} = grad {t_grad*1e3:.1f} "
               f"+ opt {t_opt*1e3:.1f} "
               f"+ residual {(t_step-t_grad-t_opt)*1e3:.1f} ms", flush=True)
-        print(f"  grad {t_grad*1e3:.1f} = fwd {t_fwd*1e3:.1f} "
-              f"(vit {t_vit*1e3:.1f} + llm {t_llm_fwd*1e3:.1f} + head/other "
-              f"{(t_fwd-t_vit-t_llm_fwd)*1e3:.1f}) "
-              f"+ remat re-forward ~{reforward*1e3:.1f} "
-              f"+ bwd proper ~{bwd_proper*1e3:.1f} ms "
-              f"(of which attention bwd {attn_b_all*1e3:.1f}, "
-              f"head bwd ~{max(t_head - t_head/3, 0)*1e3:.1f})", flush=True)
+        if t_vit is not None and t_llm_fwd is not None:
+            print(f"  grad {t_grad*1e3:.1f} = fwd {t_fwd*1e3:.1f} "
+                  f"(vit {t_vit*1e3:.1f} + llm {t_llm_fwd*1e3:.1f} "
+                  f"+ head/other {(t_fwd-t_vit-t_llm_fwd)*1e3:.1f}) "
+                  f"+ remat re-forward ~{reforward*1e3:.1f} "
+                  f"+ bwd proper ~{bwd_proper*1e3:.1f} ms "
+                  f"(of which attention bwd {attn_b_all*1e3:.1f}, "
+                  f"head bwd ~{max(t_head - t_head/3, 0)*1e3:.1f})",
+                  flush=True)
 
 
 if __name__ == "__main__":
