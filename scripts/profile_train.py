@@ -226,8 +226,30 @@ def _attribution(cfg, state, batch, train_step, tx, mask, remat, t_step,
             fn = make_fn(reps)
             dt = max(min_time(fn, *args) - t_null, 0.0) / reps
         except Exception as e:  # noqa: BLE001 - report and keep attributing
-            print(f"  {name:<28} skipped: {repr(e)[:200]}", flush=True)
-            return None
+            # the remote compile service 500s on some large loop bodies
+            # (e.g. fori_loop over the full grad at base scale); fall back
+            # to a pipelined host loop of the R=1 program — reps async
+            # dispatches + one readback still amortize to ~1 RPC
+            try:
+                fn1 = make_fn(1)
+                out = fn1(*args)                  # compile + warm
+                sync(out)
+                best = float("inf")
+                for _ in range(SAMPLES):
+                    t0 = time.time()
+                    for _ in range(reps):
+                        out = fn1(*args)
+                    sync(out)
+                    best = min(best, time.time() - t0)
+                dt = max(best - t_null, 0.0) / reps
+                print(f"  {name:<28} {dt*1e3:9.2f} ms  "
+                      f"(x{reps} host-pipelined; loop compile failed)",
+                      flush=True)
+                return dt
+            except Exception as e2:  # noqa: BLE001
+                print(f"  {name:<28} skipped: {repr(e)[:120]} / "
+                      f"{repr(e2)[:80]}", flush=True)
+                return None
         print(f"  {name:<28} {dt*1e3:9.2f} ms  (x{reps}/dispatch)",
               flush=True)
         return dt
