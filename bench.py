@@ -230,8 +230,11 @@ def _run(quantize_llm: bool):
                  decode_chunk=DECODE_TOKENS,
                  kv_bits=kv_bits)
     # params are already device-resident, so the constructor's device_put
-    # is a no-op; the residue here is the fp32->bf16 scale casts + qkv
-    # fusion concats, all on-device. Block so nothing leaks into "compile".
+    # is a no-op; the residue is the fp32->bf16 scale casts + qkv fusion,
+    # batched into <=3 dispatches (engine._prepare_single_chip — the
+    # per-leaf version measured 1.1-128 s here depending on tunnel load).
+    # Drop the pre-fusion tree so the replaced q/k/v packs free their HBM.
+    del params
     jax.block_until_ready(eng.params)
     np.asarray(jax.tree.leaves(eng.params)[0].ravel()[:8])
     t_params = time.time() - t0

@@ -208,3 +208,55 @@ def test_engine_build_skips_resident_leaves(monkeypatch):
     out = eng.generate([[3, 5, 7]], gen=GenerationConfig(max_new_tokens=4),
                        eos_token_id=-1)
     assert len(out[0]) == 4
+
+
+def test_engine_build_bounded_dispatches(monkeypatch):
+    """Engine param prep must issue a BOUNDED number of device dispatches,
+    not one per leaf: on the tunnel backend each dispatch is an RPC round
+    trip, and the per-leaf version of the scale casts + qkv concats was
+    measured costing 1.1-128 s of engine build for identical work depending
+    on load (BASELINE.md round-5). Budget: <=1 batched cast program,
+    <=1 fuse-concat program, 0 device_puts for a resident tree — and every
+    untouched leaf passes through as the SAME array object (zero copies)."""
+    from videollama2_tpu.inference import engine as engine_mod
+    from videollama2_tpu.ops import quant as quant_mod
+
+    cfg = cfglib.tiny_model()
+    params = vl2.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    params = dict(params,
+                  llm=quant_mod.quantize_llm_params(params["llm"], bits=8))
+    resident = jax.tree.map(jnp.asarray, params)
+
+    puts, jit_execs, fuse_execs = [], [], []
+    real_put, real_jit = jax.device_put, jax.jit
+    real_fuse = quant_mod._fuse_concats
+
+    def counting_put(x, *a, **k):
+        puts.append(1)
+        return real_put(x, *a, **k)
+
+    def counting_jit(fn, *a, **k):
+        compiled = real_jit(fn, *a, **k)
+
+        def run(*ca, **ck):
+            jit_execs.append(1)
+            return compiled(*ca, **ck)
+        return run
+
+    monkeypatch.setattr(engine_mod.jax, "device_put", counting_put)
+    monkeypatch.setattr(engine_mod.jax, "jit", counting_jit)
+    monkeypatch.setattr(quant_mod, "_fuse_concats",
+                        lambda g: (fuse_execs.append(1), real_fuse(g))[1])
+    target = jax.devices()[0]
+    out = engine_mod._prepare_single_chip(resident, jnp.bfloat16,
+                                          fuse=True, target=target)
+    assert not puts, f"{len(puts)} device_put calls for resident params"
+    assert len(jit_execs) <= 1, f"{len(jit_execs)} cast dispatches"
+    assert len(fuse_execs) <= 1, f"{len(fuse_execs)} fuse dispatches"
+
+    # fp32 scales were cast by the batched program
+    assert out["llm"]["layers"]["qkv"]["kernel_q8"]["scale"].dtype \
+        == jnp.bfloat16
+    # untouched int8 packs pass through as the same objects: zero copies
+    assert out["llm"]["layers"]["o"]["kernel_q8"]["q"] \
+        is resident["llm"]["layers"]["o"]["kernel_q8"]["q"]

@@ -37,6 +37,62 @@ DEFAULT_BUCKETS = (128, 256, 512, 1024, 2048, 4096)
 DECODE_CHUNK = 32
 
 
+def _prepare_single_chip(params, dtype, fuse: bool, target) -> dict:
+    """Engine param prep in a BOUNDED number of device dispatches.
+
+    Three jobs, each batched into (at most) one dispatch:
+
+      1. dtype casts: every floating leaf whose dtype != `dtype` (fp32
+         quantization scales, checkpoint-loaded fp32 weights) is cast by ONE
+         jitted program over the list of such leaves;
+      2. pinning: leaves not already resident on `target` are committed by
+         ONE tree-level jax.device_put — host-committed params would be
+         re-transferred on every jit call (catastrophic over a remote-tunnel
+         TPU). Leaves already resident (jit outputs, the on-device
+         synthetic-fill path) are left alone and UNCOMMITTED; the
+         jax.default_device migration hazard that creates is guarded at the
+         call sites (_guard_default_device) because committing them would
+         cost a per-leaf RPC round trip each;
+      3. q/k/v fusion (ops/quant.fuse_qkv): one jitted concat program.
+
+    The previous per-leaf version of this prep (~50 eager scale casts +
+    concats, one RPC round trip each on tunnel backends) was measured
+    costing 1.1-128 s of engine build for identical work depending on
+    tunnel load; batched it is one dispatch's latency.
+    """
+    flat, treedef = jax.tree.flatten(params)
+    flat = [a if hasattr(a, "dtype") else np.asarray(a) for a in flat]
+
+    cast_idx = [i for i, a in enumerate(flat)
+                if jnp.issubdtype(a.dtype, jnp.floating) and a.dtype != dtype]
+    if cast_idx:
+        cast = jax.jit(lambda xs: [x.astype(dtype) for x in xs])
+        for i, out in zip(cast_idx, cast([flat[i] for i in cast_idx])):
+            flat[i] = out
+
+    def _resident(a):
+        try:
+            return a.devices() == {target}
+        except AttributeError:
+            return False
+    host_idx = [i for i, a in enumerate(flat) if not _resident(a)]
+    if host_idx:
+        for i, out in zip(host_idx,
+                          jax.device_put([flat[i] for i in host_idx],
+                                         target)):
+            flat[i] = out
+
+    tree = jax.tree.unflatten(treedef, flat)
+    if fuse and "llm" in tree:
+        # single-chip quantized serving: fuse the q/k/v packs so decode
+        # issues one layer-indexed kernel per attention projection set
+        # (no-op on unquantized or LoRA-carrying params); skipped when
+        # sharded — TP rules address q/k/v separately
+        from ..ops import quant as quant_lib
+        tree = dict(tree, llm=quant_lib.fuse_qkv(tree["llm"]))
+    return tree
+
+
 @dataclass
 class GenerationConfig:
     """Defaults parity: videollama2/__init__.py:93-96.
@@ -118,44 +174,22 @@ class Engine:
         self.w8a8_prefill = w8a8_prefill
         target = jax.devices()[0]
 
-        def _cast(a):
-            a = jnp.asarray(a)
-            if jnp.issubdtype(a.dtype, jnp.floating) and a.dtype != dtype:
-                a = a.astype(dtype)
-            if shard_fn is None:
-                # pin to the accelerator NOW: host-committed params would be
-                # re-transferred on every jit call (catastrophic over a
-                # remote-tunnel TPU). Leaves ALREADY committed to the target
-                # are left alone — a per-leaf device_put is an RPC round
-                # trip on tunnel backends, and a ~300-leaf 7B tree was
-                # measured costing minutes of engine build under load.
-                # resident-on-target is enough: jit leaves an uncommitted
-                # default-device array in place, and jit outputs (the
-                # on-device synthetic fills) are uncommitted. The hazard —
-                # an UNCOMMITTED leaf follows jax.default_device, so a
-                # generate() under `with jax.default_device(cpu)` would
-                # silently migrate the tree off-chip — is guarded at the
-                # call sites instead (_guard_default_device), because
-                # committing here would re-introduce the per-leaf
-                # device_put RPCs this skip exists to avoid
-                try:
-                    placed = a.devices() == {target}
-                except AttributeError:
-                    placed = False
-                if not placed:
-                    a = jax.device_put(a, target)
-            return a
-        self.params = jax.tree.map(_cast, params)
         if shard_fn is not None:
-            self.params = shard_fn(self.params)
-        elif fuse_qkv and "llm" in self.params:
-            # single-chip quantized serving: fuse the q/k/v packs so decode
-            # issues one layer-indexed kernel per attention projection set
-            # (no-op on unquantized or LoRA-carrying params); skipped when
-            # sharded — TP rules address q/k/v separately
-            from ..ops import quant as quant_lib
-            self.params = dict(self.params,
-                               llm=quant_lib.fuse_qkv(self.params["llm"]))
+            def _cast(a):
+                a = jnp.asarray(a)
+                if jnp.issubdtype(a.dtype, jnp.floating) and a.dtype != dtype:
+                    a = a.astype(dtype)
+                return a
+            self.params = shard_fn(jax.tree.map(_cast, params))
+        else:
+            # single-chip: dtype casts + q/k/v fusion run as a BOUNDED
+            # number of dispatches (<=3), not one per leaf — on tunnel
+            # backends every dispatch is an RPC round trip, and the
+            # per-leaf version of this prep was measured costing 55-128 s
+            # of engine build under congestion (1.1 s quiet) for the same
+            # ~50 scale casts + concats (BASELINE.md round-5 notes)
+            self.params = _prepare_single_chip(
+                params, dtype, fuse=fuse_qkv, target=target)
         self._target_device = target
         self._prefill_cache = {}
         self._verify_cache = {}

@@ -151,6 +151,11 @@ def quantize_vision_params(vit_params: Dict) -> Dict:
     return out
 
 
+@jax.jit
+def _fuse_concats(groups: Dict) -> Dict:
+    return {k: jnp.concatenate(v, axis=-1) for k, v in groups.items()}
+
+
 def fuse_qkv(llm_params: Dict) -> Dict:
     """Fuse the quantized q/k/v projection packs into one `qkv` entry.
 
@@ -175,14 +180,17 @@ def fuse_qkv(llm_params: Dict) -> Dict:
         return llm_params
     packs = [layers[n][kind] for n in names]
     qkey = "q" if kind == "kernel_q8" else "q4"
-    fused_pack = {
-        qkey: jnp.concatenate([p[qkey] for p in packs], axis=-1),
-        "scale": jnp.concatenate([p["scale"] for p in packs], axis=-1),
-    }
-    fused = {kind: fused_pack}
+    groups = {qkey: [p[qkey] for p in packs],
+              "scale": [p["scale"] for p in packs]}
     if all(layers[n].get("bias") is not None for n in names):
-        fused["bias"] = jnp.concatenate([layers[n]["bias"] for n in names],
-                                        axis=-1)
+        groups["bias"] = [layers[n]["bias"] for n in names]
+    # ONE jitted dispatch for all concats: each eager concatenate is an RPC
+    # round trip on tunnel backends and this runs inside engine build
+    # (engine._prepare_single_chip keeps total build dispatches <=3)
+    fused_all = _fuse_concats(groups)
+    fused = {kind: {qkey: fused_all[qkey], "scale": fused_all["scale"]}}
+    if "bias" in fused_all:
+        fused["bias"] = fused_all["bias"]
     out = dict(llm_params)
     new_layers = {n: e for n, e in layers.items() if n not in names}
     new_layers["qkv"] = fused
