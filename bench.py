@@ -208,8 +208,17 @@ def _run(quantize_llm: bool):
     H = cfg.vision.image_size
     T = cfg.num_frames
     rng = np.random.default_rng(0)
-    # serving fast path: resized uint8 RGB, normalized on device
-    frames = rng.integers(0, 255, (BATCH, T, H, H, 3), dtype=np.uint8)
+    # serving fast path wire format (media/wire.py): planar I420 uint8
+    # (1.5 bytes/px — the decoder's native 4:2:0; YUV->RGB + normalize run
+    # on device, fused into the tower) vs resized uint8 RGB (3 bytes/px).
+    # Host->device copies serialize with compute on this tunnel, so wire
+    # bytes are wall-clock per iteration. BENCH_WIRE=rgb opts out.
+    wire_fmt = os.environ.get("BENCH_WIRE", "i420" if full_path else "rgb")
+    frame_shape = ((BATCH, T, H + H // 2, H) if wire_fmt == "i420"
+                   else (BATCH, T, H, H, 3))
+    if wire_fmt == "i420":
+        wcfg += "+i420wire"
+    frames = rng.integers(0, 255, frame_shape, dtype=np.uint8)
     prompt = [1] + list(rng.integers(10, 1000, 40)) + [VIDEO_TOKEN_INDEX] \
         + list(rng.integers(10, 1000, 12))
     # tightest 128-aligned prefill bucket for the spliced prompt (the flash
@@ -261,7 +270,7 @@ def _run(quantize_llm: bool):
     iters = int(os.environ.get("BENCH_ITERS", "12")) if on_tpu else 1
     max_iters = int(os.environ.get("BENCH_MAX_ITERS", "24")) if on_tpu else 1
     budget_s = float(os.environ.get("BENCH_TIME_BUDGET_S", "90"))
-    frame_sets = [rng.integers(0, 255, (BATCH, T, H, H, 3), dtype=np.uint8)
+    frame_sets = [rng.integers(0, 255, frame_shape, dtype=np.uint8)
                   for _ in range(iters)]
 
     # stage attribution (always measured, emitted in the JSON `breakdown`
@@ -300,7 +309,7 @@ def _run(quantize_llm: bool):
     def fresh_frames(i):
         if i < len(frame_sets):
             return frame_sets[i]
-        return rng.integers(0, 255, (BATCH, T, H, H, 3), dtype=np.uint8)
+        return rng.integers(0, 255, frame_shape, dtype=np.uint8)
 
     dev = eng.upload_frames(frame_sets[0])
     times = []
@@ -340,7 +349,7 @@ def _run(quantize_llm: bool):
         # comparison per stage; slot a measured A100 in alongside later
         "breakdown": {
             "weights": wcfg, "model": model, "batch": BATCH, "frames": T,
-            "kv_bits": kv_bits,
+            "kv_bits": kv_bits, "wire": wire_fmt,
             "params_fill_on_device_s": round(t_fill, 3),
             "engine_build_s": round(t_params, 3),
             "warmup_compile_s": round(t_warmup, 3),

@@ -202,6 +202,42 @@ def wrk_port_of(serve_stack):
     return serve_stack[3]
 
 
+def test_worker_wire_formats(serve_stack, tmp_path):
+    """_decode_media honors the wire format: i420 (default) ships planar
+    [T, H*3/2, W] uint8 (half the RGB bytes), rgb ships uint8 [T, H, W, 3],
+    fp32 ships host-normalized floats (media/wire.py)."""
+    import numpy as np
+    from PIL import Image
+
+    _, worker, _, _ = serve_stack
+    H = worker.model.config.vision.image_size
+    rng = np.random.default_rng(1)
+    frames = [Image.fromarray(rng.integers(0, 255, (32, 32, 3),
+                                           dtype=np.uint8))
+              for _ in range(4)]
+    gif = tmp_path / "wire.gif"
+    frames[0].save(str(gif), save_all=True, append_images=frames[1:],
+                   duration=50)
+
+    old = worker.wire
+    try:
+        worker.wire = "i420"
+        t, modal = worker._decode_media({"video": str(gif)})
+        assert modal == "video" and t.dtype == np.uint8
+        assert t.shape[-2:] == (H * 3 // 2, H)
+        assert t.nbytes * 2 == np.prod(t.shape[:-2]) * H * H * 3
+
+        worker.wire = "rgb"
+        t, _ = worker._decode_media({"video": str(gif)})
+        assert t.dtype == np.uint8 and t.shape[-3:] == (H, H, 3)
+
+        worker.wire = "fp32"
+        t, _ = worker._decode_media({"video": str(gif)})
+        assert t.dtype == np.float32 and t.shape[-3:] == (H, H, 3)
+    finally:
+        worker.wire = old
+
+
 def test_web_server_messages_helper():
     from videollama2_tpu.serve.web_server import WebBackend
 

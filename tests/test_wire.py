@@ -1,0 +1,137 @@
+"""I420 wire format (media/wire.py + the device unpack in
+models/videollama2._i420_to_rgb).
+
+The serving fast path may ship frames host->device as planar YUV 4:2:0
+(1.5 bytes/px) instead of uint8 RGB (3 bytes/px); the color conversion runs
+on device fused into the tower normalize. These tests pin:
+  * host pack / numpy unpack round-trip bounds (lossy only in chroma),
+  * exactness on 2x2-flat-chroma images (the 4:2:0 sites lose nothing),
+  * device unpack == numpy reference bit-for-bit math,
+  * encode_frames(I420) ~= encode_frames(RGB) features, and Engine
+    generate() token parity on chroma-flat frames.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from videollama2_tpu.constants import VIDEO_TOKEN_INDEX
+from videollama2_tpu.core import config as cfglib
+from videollama2_tpu.media import wire
+
+
+def _rand_rgb(shape, seed=0):
+    return np.random.default_rng(seed).integers(0, 255, shape,
+                                                dtype=np.uint8)
+
+
+def test_i420_shapes_and_dtype():
+    fr = _rand_rgb((2, 3, 8, 12, 3))
+    buf = wire.rgb_to_i420(fr)
+    assert buf.shape == (2, 3, 12, 12) and buf.dtype == np.uint8
+    rgb = wire.i420_to_rgb(buf)
+    assert rgb.shape == (2, 3, 8, 12, 3) and rgb.dtype == np.float32
+
+
+def test_i420_rejects_odd_dims_and_bad_dtype():
+    with pytest.raises(ValueError):
+        wire.rgb_to_i420(_rand_rgb((1, 7, 8, 3)))
+    with pytest.raises(ValueError):
+        wire.rgb_to_i420(_rand_rgb((1, 8, 8, 3)).astype(np.float32))
+
+
+def test_i420_luma_roundtrip_tight():
+    """Y is full-resolution: grayscale images round-trip to +-1/255."""
+    g = np.random.default_rng(1).integers(0, 255, (4, 16, 16), dtype=np.uint8)
+    fr = np.stack([g] * 3, axis=-1)
+    back = wire.i420_to_rgb(wire.rgb_to_i420(fr))
+    assert np.max(np.abs(back - fr.astype(np.float32))) <= 1.5
+
+
+def test_i420_flat_chroma_blocks_exact():
+    """Frames whose 2x2 quads are constant lose nothing to the 4:2:0
+    subsample: round trip is exact to uint8 rounding (+-1)."""
+    rng = np.random.default_rng(2)
+    small = rng.integers(0, 255, (2, 8, 8, 3), dtype=np.uint8)
+    fr = small.repeat(2, axis=1).repeat(2, axis=2)  # [2, 16, 16, 3]
+    back = wire.i420_to_rgb(wire.rgb_to_i420(fr))
+    assert np.max(np.abs(back - fr.astype(np.float32))) <= 1.5
+
+
+def test_i420_natural_error_bounded():
+    """Arbitrary (worst-case random) chroma: error bounded by the box
+    filter's smoothing, and zero mean shift (same matrix both ways)."""
+    fr = _rand_rgb((2, 16, 16, 3), seed=3)
+    back = wire.i420_to_rgb(wire.rgb_to_i420(fr))
+    diff = back - fr.astype(np.float32)
+    assert abs(float(diff.mean())) < 2.0
+    # uncorrelated per-pixel chroma is the pathological worst case for
+    # 4:2:0 (real video never has it — the SOURCE was 4:2:0); measured
+    # absmax ~205 / absmean ~42 here, documented as the ceiling
+    assert float(np.abs(diff).max()) < 230.0
+    assert float(np.abs(diff).mean()) < 55.0
+    # luma channelwise mean is preserved (box filter is mean-preserving)
+    y_back = back @ np.array([0.299, 0.587, 0.114], np.float32)
+    y_src = fr.astype(np.float32) @ np.array([0.299, 0.587, 0.114],
+                                             np.float32)
+    assert float(np.abs(y_back - y_src).mean()) < 2.0
+
+
+def test_device_unpack_matches_numpy():
+    from videollama2_tpu.models.videollama2 import _i420_to_rgb
+    buf = np.random.default_rng(4).integers(
+        0, 255, (2, 3, 18, 12), dtype=np.uint8)
+    ref = wire.i420_to_rgb(buf)
+    dev = np.asarray(_i420_to_rgb(jnp.asarray(buf)))
+    np.testing.assert_allclose(dev, ref, atol=1e-3)
+
+
+def test_encode_frames_i420_matches_rgb():
+    """encode_frames on an I420 buffer == encode_frames on the RGB frames
+    that buffer decodes to (the conversion itself is the only delta)."""
+    from videollama2_tpu.models import videollama2 as vl2
+    cfg = cfglib.tiny_model()
+    params = vl2.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    T, H = cfg.num_frames, cfg.vision.image_size
+    rng = np.random.default_rng(5)
+    small = rng.integers(0, 255, (1, T, H // 2, H // 2, 3), dtype=np.uint8)
+    fr = small.repeat(2, axis=2).repeat(2, axis=3)  # chroma-flat quads
+    buf = wire.rgb_to_i420(fr)
+
+    tok_rgb = vl2.encode_frames(params, cfg, jnp.asarray(fr),
+                                attn_impl="xla")
+    tok_yuv = vl2.encode_frames(params, cfg, jnp.asarray(buf),
+                                attn_impl="xla")
+    # chroma-flat quads round-trip to +-1/255 pixel error -> tiny feature
+    # delta through the random tiny tower
+    err = float(jnp.max(jnp.abs(tok_rgb - tok_yuv)))
+    scale = float(jnp.max(jnp.abs(tok_rgb))) + 1e-6
+    assert err / scale < 0.15, f"feature drift {err / scale}"
+
+
+def test_engine_generate_i420_token_parity():
+    """Engine greedy tokens from I420 frames == from the equivalent RGB
+    frames on chroma-flat inputs (the wire is transparent to decoding)."""
+    from videollama2_tpu.inference.engine import Engine, GenerationConfig
+    from videollama2_tpu.models import videollama2 as vl2
+    cfg = cfglib.tiny_model()
+    params = vl2.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    T, H = cfg.num_frames, cfg.vision.image_size
+    rng = np.random.default_rng(6)
+    # grayscale + chroma-flat quads: Y = gray exactly, U = V = 128 exactly,
+    # so the wire is mathematically lossless and both engines see the same
+    # pixels to float rounding (~1e-5) — greedy tokens must match
+    g = rng.integers(0, 255, (1, T, H // 2, H // 2, 1), dtype=np.uint8)
+    fr = np.broadcast_to(g.repeat(2, axis=2).repeat(2, axis=3),
+                         (1, T, H, H, 3)).copy()
+    buf = wire.rgb_to_i420(fr)
+
+    eng = Engine(cfg, params, dtype=jnp.float32, max_len=64, buckets=(32,),
+                 attn_impl="xla", decode_chunk=4)
+    prompt = [3, 4, VIDEO_TOKEN_INDEX, 5, 6]
+    gen = GenerationConfig(max_new_tokens=6)
+    out_rgb = eng.generate([prompt], frames=fr, gen=gen, eos_token_id=-1)
+    out_yuv = eng.generate([prompt], frames=buf, gen=gen, eos_token_id=-1)
+    assert out_rgb == out_yuv

@@ -39,26 +39,57 @@ def init_params(rng: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> dict:
     return params
 
 
+def _i420_to_rgb(buf: jax.Array) -> jax.Array:
+    """Device-side I420 unpack: uint8 [B, T, H*3/2, W] -> float32 RGB
+    [B, T, H, W, 3] in [0, 255]. Must match media/wire.i420_to_rgb exactly
+    (tests/test_wire.py): BT.601 full-range inverse, nearest 2x chroma
+    upsample. Pure VPU elementwise + reshapes — XLA fuses it into the
+    normalize that follows in encode_frames."""
+    from ..media import wire
+    B, T = buf.shape[0], buf.shape[1]
+    H = buf.shape[2] * 2 // 3
+    W = buf.shape[3]
+    f = buf.astype(jnp.float32)
+    y = f[:, :, :H]
+    cb = f[:, :, H:H + H // 4].reshape(B, T, H // 2, W // 2) - 128.0
+    cr = f[:, :, H + H // 4:].reshape(B, T, H // 2, W // 2) - 128.0
+    cb = jnp.repeat(jnp.repeat(cb, 2, axis=2), 2, axis=3)
+    cr = jnp.repeat(jnp.repeat(cr, 2, axis=2), 2, axis=3)
+    r = y + wire.INV_R_CR * cr
+    g = y - wire.INV_G_CB * cb - wire.INV_G_CR * cr
+    b = y + wire.INV_B_CB * cb
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+
+
 def encode_frames(params: dict, cfg: ModelConfig, frames: jax.Array,
                   attn_impl: str = "auto",
                   broadcast_image: bool = False) -> jax.Array:
     """Encode a batch of videos' frames through the frozen tower + connector.
 
     frames: [B, T, H, W, 3] preprocessed pixels (images are expanded to T
-    identical frames by the caller, parity videollama2_arch.py:119-120).
-    With broadcast_image=True, frames is [B, 1, H, W, 3]: the tower runs
+    identical frames by the caller, parity videollama2_arch.py:119-120), OR
+    [B, T, H*3/2, W] planar uint8 I420 (media/wire.py — the 1.5-byte/px
+    wire format; YUV->RGB runs here on device, fused into the normalize).
+    With broadcast_image=True, frames is [B, 1, ...]: the tower runs
     ONCE per image and the features are broadcast to num_frames — identical
     result to the reference's T redundant tower passes at 1/T the FLOPs.
     Returns [B, tokens_per_video, hidden].
     """
     B, T = frames.shape[0], frames.shape[1]
-    if frames.dtype == jnp.uint8:
+    raw255 = None
+    if frames.ndim == 4:
+        if frames.dtype != jnp.uint8:
+            raise ValueError("planar I420 frames must be uint8")
+        raw255 = _i420_to_rgb(frames)  # [B, T, H, W, 3] f32 in [0, 255]
+    elif frames.dtype == jnp.uint8:
+        raw255 = frames.astype(jnp.float32)
+    if raw255 is not None:
         # on-device normalize: callers ship resized uint8 RGB (4x less
-        # host->HBM traffic than fp32; the north star's fused preprocess)
+        # host->HBM traffic than fp32) or planar I420 (6x less — the
+        # north star's fused preprocess; media/wire.py)
         mean = jnp.asarray(cfg.vision.image_mean, jnp.float32)
         std = jnp.asarray(cfg.vision.image_std, jnp.float32)
-        frames = ((frames.astype(jnp.float32) / 255.0 - mean)
-                  / std).astype(jnp.bfloat16)
+        frames = ((raw255 / 255.0 - mean) / std).astype(jnp.bfloat16)
     flat = frames.reshape((B * T,) + frames.shape[2:])
     feats = _tower_features(params, cfg, flat, attn_impl)
     feats = jax.lax.stop_gradient(feats)  # tower frozen (train.py:534)

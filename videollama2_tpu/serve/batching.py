@@ -173,9 +173,13 @@ class DynamicBatcher:
             rows = []
             for r in group:
                 arr = np.asarray(r.tensor)
-                rows.append(arr[:1] if arr.ndim == 4 else arr[None])
+                if arr.shape[-1] != 3:
+                    # planar I420 wire (media/wire.py): [T, H*3/2, W]
+                    rows.append(arr[:1])
+                else:
+                    rows.append(arr[:1] if arr.ndim == 4 else arr[None])
             rows += [np.zeros_like(rows[0])] * n_pad
-            frames = np.stack(rows)                    # [B, 1, H, W, 3]
+            frames = np.stack(rows)           # [B, 1, H, W, 3] | [B, 1, R, W]
         else:
             # grouped vision: G distinct media, every sample points at a
             # group (text samples at 0 — their splice plan has no visual

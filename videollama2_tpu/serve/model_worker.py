@@ -46,6 +46,7 @@ class ModelWorker:
     # via __new__ + attribute assembly without running __init__
     speculative_k = 0
     session_store = None
+    wire = "i420"
 
     def __init__(self, controller_addr: str, worker_addr: str,
                  model_path: str, model_name: Optional[str] = None,
@@ -54,7 +55,8 @@ class ModelWorker:
                  dynamic_batch: bool = False,
                  speculative_k: int = 0,
                  session_cache: int = 2,
-                 preloaded=None):
+                 preloaded=None,
+                 wire: str = "i420"):
         from ..inference import api as api_lib
         from ..multimodal.tokenizer import get_model_name_from_path
 
@@ -80,6 +82,13 @@ class ModelWorker:
         if num_frames:
             self.model.config = self.model.config.replace(
                 num_frames=num_frames)
+        # frame wire format (media/wire.py): "i420" ships planar YUV 4:2:0
+        # (1.5 B/px, the decoder's native chroma — the default fast path),
+        # "rgb" ships resized uint8 RGB (3 B/px, exact chroma), "fp32"
+        # ships host-normalized floats (12 B/px, HF-float parity)
+        if wire not in ("i420", "rgb", "fp32"):
+            raise ValueError(f"wire must be i420|rgb|fp32, got {wire}")
+        self.wire = wire
         self.speculative_k = speculative_k
         self.session_store = None
         if session_cache > 0 and not dynamic_batch:
@@ -153,6 +162,16 @@ class ModelWorker:
         cfg = self.model.config
         vis_cfg = cfg.vision
         num_frames = cfg.num_frames
+        out_dtype = "float32" if self.wire == "fp32" else "uint8"
+
+        def _pack(arr):
+            # i420 wire: pack resized uint8 RGB into planar YUV 4:2:0 —
+            # halves the host->device bytes per request (media/wire.py;
+            # lossy 4:2:0 chroma, documented delta, --wire rgb opts out)
+            if self.wire == "i420":
+                from ..media import wire as wire_lib
+                return wire_lib.rgb_to_i420(arr)
+            return arr
         images = params.get("images", None)
         video = params.get("video", None)
         audio = params.get("audio", None)
@@ -174,8 +193,10 @@ class ModelWorker:
             want_av = (cfg.audio is not None
                        and params.get("modal", "av") == "av")
             try:
-                tensor = process_video(video, vis_cfg, aspect_ratio=None,
-                                       num_frames=num_frames)
+                tensor = _pack(process_video(video, vis_cfg,
+                                             aspect_ratio=None,
+                                             num_frames=num_frames,
+                                             out_dtype=out_dtype))
                 if want_av:
                     from ..inference.api import _prep_av_audio
                     feats = _prep_av_audio(video, cfg)
@@ -190,7 +211,8 @@ class ModelWorker:
         if images:
             img = Image.open(io.BytesIO(
                 base64.b64decode(images[0]))).convert("RGB")
-            tensor = process_image(img, vis_cfg, aspect_ratio=None)
+            tensor = _pack(process_image(img, vis_cfg, aspect_ratio=None,
+                                         out_dtype=out_dtype))
             return tensor, "image"
         return None, "text"
 
@@ -379,6 +401,12 @@ def main():
                     help="prompt-lookup speculative decoding: verify K "
                          "tokens per decode pass on greedy single-stream "
                          "requests (inference/speculative.py)")
+    ap.add_argument("--wire", default="i420",
+                    choices=("i420", "rgb", "fp32"),
+                    help="host->device frame wire format: planar YUV 4:2:0 "
+                         "(1.5 B/px, default), uint8 RGB (3 B/px, exact "
+                         "chroma), or host-normalized fp32 (12 B/px, "
+                         "HF-float parity). media/wire.py")
     args = ap.parse_args()
 
     if args.banned_words_file:
@@ -393,7 +421,8 @@ def main():
                          num_frames=args.num_frames,
                          dynamic_batch=args.dynamic_batch,
                          speculative_k=args.speculative,
-                         session_cache=args.session_cache)
+                         session_cache=args.session_cache,
+                         wire=args.wire)
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(worker))
     logger.info(f"worker listening on {args.host}:{args.port}")
