@@ -59,6 +59,42 @@ def test_mm_infer_video(loaded, tmp_path):
     assert isinstance(out, str) and len(out) > 0
 
 
+def test_model_init_i420_wire(loaded, ckpt, tmp_path):
+    """model_init(wire="i420") makes the processors emit planar YUV 4:2:0
+    (media/wire.py — half the host->device bytes) and mm_infer consumes it
+    through the same engine as the RGB wire."""
+    import jax.numpy as jnp
+    import videollama2_tpu
+    model, processor, tokenizer = videollama2_tpu.model_init(
+        ckpt, dtype=jnp.float32, max_len=256, buckets=(128,),
+        attn_impl="xla", wire="i420")
+    H = model.config.vision.image_size
+    rng = np.random.default_rng(1)
+    frames = [Image.fromarray(rng.integers(0, 255, (64, 48, 3),
+                                           dtype=np.uint8))
+              for _ in range(10)]
+    gif = tmp_path / "w.gif"
+    frames[0].save(gif, save_all=True, append_images=frames[1:], duration=50)
+
+    tensor = processor["video"](str(gif))
+    assert tensor.dtype == np.uint8
+    assert tensor.shape == (model.config.num_frames, H * 3 // 2, H)
+    out = videollama2_tpu.mm_infer(tensor, "What happens ?", model,
+                                   tokenizer, modal="video",
+                                   max_new_tokens=8)
+    assert isinstance(out, str) and len(out) > 0
+
+    img = processor["image"](Image.fromarray(
+        rng.integers(0, 255, (40, 52, 3), dtype=np.uint8)))
+    assert img.shape == (1, H * 3 // 2, H)
+    out = videollama2_tpu.mm_infer(img, "Describe .", model, tokenizer,
+                                   modal="image", max_new_tokens=6)
+    assert isinstance(out, str) and len(out) > 0
+
+    with pytest.raises(ValueError):
+        videollama2_tpu.model_init(ckpt, dtype=jnp.float32, wire="bogus")
+
+
 def test_mm_infer_text_deterministic(loaded):
     import videollama2_tpu
     model, _, tokenizer = loaded

@@ -43,10 +43,37 @@ class VideoLLaMA2:
         return self.config.model_type
 
 
+def _apply_wire(processor: dict, wire: str) -> dict:
+    """Opt-in I420 wire for the processor closures (media/wire.py): their
+    uint8 RGB output packs to planar YUV 4:2:0 — half the host->device
+    bytes per request; the engine unpacks on device (encode_frames).
+    Default "rgb" keeps the reference-shaped [T, H, W, 3] contract."""
+    if wire == "rgb":
+        return processor
+    if wire != "i420":
+        raise ValueError(f"wire must be 'rgb' or 'i420', got {wire!r}")
+    from ..media import wire as wire_lib
+
+    def wrap(fn):
+        def packed(*a, **k):
+            out = fn(*a, **k)
+            if isinstance(out, dict):  # av: {"video": ..., "audio": ...}
+                return dict(out, video=wire_lib.rgb_to_i420(out["video"]))
+            return wire_lib.rgb_to_i420(out)
+        return packed
+
+    out = dict(processor)
+    for key in ("image", "video", "av"):
+        if key in out:
+            out[key] = wrap(out[key])
+    return out
+
+
 def model_init(model_path: Optional[str] = None, dtype=None,
                max_len: int = 4096, model_base: Optional[str] = None,
                vision_tower_path: Optional[str] = None,
-               load_8bit: bool = False, load_4bit: bool = False, **kwargs):
+               load_8bit: bool = False, load_4bit: bool = False,
+               wire: str = "rgb", **kwargs):
     """Load a checkpoint directory; returns (model, processor, tokenizer).
 
     Parity: videollama2/__init__.py:14-29 + load_pretrained_model's LoRA /
@@ -54,11 +81,15 @@ def model_init(model_path: Optional[str] = None, dtype=None,
     load_8bit/load_4bit quantize the LLM weights on load (the reference's
     bitsandbytes serving configs, model/__init__.py:59-69); the decode path
     then runs the layer-indexed int8/int4 Pallas kernels and prefill uses
-    W8A8 MXU dots (int8) or dequant-in-graph (int4).
+    W8A8 MXU dots (int8) or dequant-in-graph (int4). wire="i420" makes the
+    returned processors emit planar YUV 4:2:0 (half the host->device bytes;
+    media/wire.py) — mm_infer/engine accept both formats.
     """
     import jax.numpy as jnp
     if dtype is None:
         dtype = jnp.bfloat16
+    if wire not in ("rgb", "i420"):  # fail before loading anything
+        raise ValueError(f"wire must be 'rgb' or 'i420', got {wire!r}")
     if model_path is None:
         raise ValueError("model_path is required (no network access)")
     if model_path.startswith("synthetic://"):
@@ -66,7 +97,9 @@ def model_init(model_path: Optional[str] = None, dtype=None,
         # on disk, no tunnel upload): the serving benchmark's 7B config
         # (scripts/bench_serving.py --model-path 'synthetic://...'). Values
         # are constant fills — throughput numbers are real, answers are not.
-        return _model_init_synthetic(model_path, dtype, max_len, **kwargs)
+        model, processor, tokenizer = _model_init_synthetic(
+            model_path, dtype, max_len, **kwargs)
+        return model, _apply_wire(processor, wire), tokenizer
 
     cfg, params = convert_hf.load_videollama2(
         model_path, model_base=model_base,
@@ -107,7 +140,7 @@ def model_init(model_path: Optional[str] = None, dtype=None,
         processor["audio"] = functools.partial(_prep_audio, cfg=cfg)
         processor["av"] = functools.partial(_prep_av, cfg=cfg,
                                             num_frames=num_frames)
-    return model, processor, tokenizer
+    return model, _apply_wire(processor, wire), tokenizer
 
 
 def _model_init_synthetic(model_path: str, dtype, max_len: int, **kwargs):
