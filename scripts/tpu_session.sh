@@ -39,15 +39,15 @@ run() {
   echo "$(date +%T) DONE $name rc=$?" >> /tmp/tpu_queue/status.log
 }
 
-# ---- round 5c queue (I420 wire + dispatch-bounded engine build) ----
-# new headline config: B=16 int8+kv8 + I420 wire (43 MB/iter vs 86.7) —
-# validates the driver path end-to-end; engine_build_s should now be ~1 s
-# regardless of tunnel load (engine._prepare_single_chip)
-run bench_i420 2400 python bench.py
-# A/B on the same session: identical config over the RGB wire — the iter
-# delta is the wire's wall-clock value on this tunnel
-run bench_rgb_ab 2400 env BENCH_WIRE=rgb python bench.py
-# second i420 run back-to-back: spread check + warm persistent cache
-run bench_i420_b 2400 python bench.py
+# ---- round 5d queue (per-config refreshes on the I420 wire) ----
+# int4 at the headline batch: int4 weights (3.6 GB) + kv8 cache leave
+# B=16 plenty of HBM headroom; decode weight-DMA halves vs int8
+run bench_int4_b16 2400 env BENCH_BITS=4 python bench.py
+# qwen2 flagship on the new wire (its SigLIP 384px frames were 57 MB RGB)
+run bench_qwen2_i420 2400 env BENCH_MODEL=qwen2 python bench.py
+# isolated decode at the int4+kv8 B=16 shape (floor bookkeeping)
+run profile_decode_int4_kv8_b16 1200 env BITS=4 KV_BITS=8 B=16 MAXLEN=2048 python scripts/profile_decode.py
+# headline repeat for a third weather sample
+run bench_i420_c 2400 python bench.py
 
 echo "$(date +%T) queue complete" >> /tmp/tpu_queue/status.log
