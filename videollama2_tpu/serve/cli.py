@@ -17,6 +17,8 @@ def main():
     ap.add_argument("--temperature", type=float, default=0.2)
     ap.add_argument("--do-sample", action="store_true")
     ap.add_argument("--max-new-tokens", type=int, default=512)
+    ap.add_argument("--wire", default="i420", choices=("i420", "rgb"),
+                    help="host->device frame wire (media/wire.py)")
     ap.add_argument("--speculative", type=int, default=0, metavar="K",
                     help="prompt-lookup speculative decoding for greedy "
                          "turns (inference/speculative.py)")
@@ -25,7 +27,9 @@ def main():
     from .. import model_init
     from ..inference.api import ChatSession
 
-    model, processor, tokenizer = model_init(args.model_path)
+    # I420 frame wire by default (half the host->device bytes; media/wire.py)
+    model, processor, tokenizer = model_init(args.model_path,
+                                             wire=args.wire)
 
     tensor, modal = None, "text"
     if args.video_file:

@@ -28,12 +28,14 @@ class OpenAIBackend:
     session_store = None
 
     def __init__(self, model_path: str, model_name: str = None,
-                 dynamic_batch: bool = False):
+                 dynamic_batch: bool = False, wire: str = "i420"):
         from ..inference import api as api_lib
         from ..multimodal.tokenizer import get_model_name_from_path
         self.model_name = model_name or get_model_name_from_path(model_path)
+        # serving default: I420 frame wire (half the host->device bytes;
+        # media/wire.py) — wire="rgb" restores exact-chroma frames
         self.model, self.processor, self.tokenizer = api_lib.model_init(
-            model_path)
+            model_path, wire=wire)
         self.batcher = None
         self.session_store = None
         if dynamic_batch:
@@ -195,9 +197,12 @@ def main():
     ap.add_argument("--model-name", default=None)
     ap.add_argument("--dynamic-batch", action="store_true",
                     help="continuous batching across concurrent requests")
+    ap.add_argument("--wire", default="i420", choices=("i420", "rgb"),
+                    help="host->device frame wire (media/wire.py)")
     args = ap.parse_args()
     backend = OpenAIBackend(args.model_path, args.model_name,
-                            dynamic_batch=args.dynamic_batch)
+                            dynamic_batch=args.dynamic_batch,
+                            wire=args.wire)
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(backend))
     logger.info(f"openai api on http://{args.host}:{args.port}/v1")

@@ -109,8 +109,9 @@ class WebBackend:
         self.model = None
         if args.model_path:
             from ..inference import api as api_lib
+            # serving default: I420 frame wire (media/wire.py)
             self.model, self.processor, self.tokenizer = api_lib.model_init(
-                args.model_path)
+                args.model_path, wire=getattr(args, "wire", "i420"))
 
     def generate(self, data: dict):
         self._log("chat", data)
@@ -237,6 +238,8 @@ def main():
     ap.add_argument("--model-name", default=None)
     ap.add_argument("--model-path", default=None,
                     help="serve a model in-process (adhoc mode)")
+    ap.add_argument("--wire", default="i420", choices=("i420", "rgb"),
+                    help="host->device frame wire (media/wire.py)")
     args = ap.parse_args()
     backend = WebBackend(args)
     server = ThreadingHTTPServer((args.host, args.port),
