@@ -23,8 +23,9 @@ def test_bench_small_full_path_emits_result():
     result = json.loads(line)
     assert result["value"] > 0, (result, proc.stderr[-2000:])
     bd = result["breakdown"]
-    # quantize branch + the round-5 default int8 KV cache both ran
-    assert bd["weights"] == "int8-weights+kv8"
+    # quantize branch + the round-5 default int8 KV cache + I420 wire
+    assert bd["weights"] == "int8-weights+kv8+i420wire"
     assert bd["kv_bits"] == 8
+    assert bd["wire"] == "i420"
     assert bd["decode_ms_per_tok"] > 0
     assert "persistent_cache" in bd

@@ -81,7 +81,9 @@ def test_synthetic_scheme_model_init_and_generate(tok_dir):
         f"synthetic://tiny?bits=8&kv_bits=8&max_len=128&tokenizer={tok_dir}",
         dtype=jnp.float32, buckets=(64,), attn_impl="xla")
     # int8 packs + quantized kv cache flags made it through the URL
-    assert "kernel_q8" in model.engine.params["llm"]["layers"]["q"]
+    # (single-chip engines fuse q/k/v into one serving pack — ops/quant)
+    layers = model.engine.params["llm"]["layers"]
+    assert "kernel_q8" in layers.get("qkv", layers.get("q", {}))
     assert model.engine.kv_bits == 8
     out = videollama2_tpu.mm_infer(None, "hello there ?", model, tokenizer,
                                    modal="text", max_new_tokens=4)

@@ -39,6 +39,10 @@ def test_i420_rejects_odd_dims_and_bad_dtype():
     with pytest.raises(ValueError):
         wire.rgb_to_i420(_rand_rgb((1, 7, 8, 3)))
     with pytest.raises(ValueError):
+        # even but not a multiple of 4: the U plane would not ravel into
+        # whole W-wide rows
+        wire.rgb_to_i420(_rand_rgb((1, 6, 8, 3)))
+    with pytest.raises(ValueError):
         wire.rgb_to_i420(_rand_rgb((1, 8, 8, 3)).astype(np.float32))
 
 

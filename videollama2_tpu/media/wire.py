@@ -51,8 +51,11 @@ def rgb_to_i420(frames: np.ndarray) -> np.ndarray:
         raise ValueError(f"expected uint8 [..., H, W, 3], got "
                          f"{frames.dtype} {frames.shape}")
     H, W = frames.shape[-3], frames.shape[-2]
-    if H % 2 or W % 2:
-        raise ValueError(f"I420 needs even H, W; got {H}x{W}")
+    # H % 4: the U plane's H/2 x W/2 samples ravel into W-wide rows, so the
+    # packed buffer needs H*W/4 % W == 0 (CLIP 336 / SigLIP 384 both hold)
+    if H % 4 or W % 2:
+        raise ValueError(f"I420 packing needs H % 4 == 0 and even W; "
+                         f"got {H}x{W}")
     lead = frames.shape[:-3]
     rgb = frames.reshape((-1, H, W, 3)).astype(np.float32)
     ycc = rgb @ _FWD.T
