@@ -114,19 +114,31 @@ def build_llm_params(jax, jnp, cfg, cpu, dev):
 
 def run_prefill(jax, jnp, cfg, dev, lparams, B):
     from videollama2_tpu.models import llm as llm_lib
+    from videollama2_tpu.ops import layers as layers_ops
 
-    S = 2048
+    # PREFILL_B/PREFILL_S: measure at a specific shape (the B=16 headline
+    # bucket is S=1664). W8A8=1 runs the engine's s8xs8 MXU path (the
+    # quant-inference contexts wrap INSIDE jit, exactly like Engine's
+    # prefill programs); default measures the dequant-to-bf16 dot.
+    B = int(os.environ.get("PREFILL_B", B))
+    S = int(os.environ.get("PREFILL_S", "2048"))
+    w8a8_list = [x == "1" for x in os.environ.get("W8A8", "0").split(",")]
     embeds = jax.device_put(jnp.full((B, S, 4096), 0.1, jnp.bfloat16), dev)
     positions = jnp.broadcast_to(jnp.arange(S), (B, S))
     valid = jnp.full((B,), S - 100)
 
-    for impl in ("pallas",):  # xla impl materializes 4 GB of probs at B8/S2048
-        fn = jax.jit(lambda p, e: llm_lib.forward(
-            p, cfg.llm, e, positions, valid, attn_impl=impl)[0])
+    impl = "pallas"  # xla impl materializes 4 GB of probs at B8/S2048
+    for w8a8 in w8a8_list:
+        def body(p, e):
+            with layers_ops.quant_inference(True), \
+                    layers_ops.w8a8_prefill(w8a8):
+                return llm_lib.forward(p, cfg.llm, e, positions, valid,
+                                       attn_impl=impl)[0]
+        fn = jax.jit(body)
         t = timeit(fn, lparams, embeds)
         fl = B * S * 7.1e9 * 2
-        print(f"prefill {S} ({impl}): {t*1e3:.1f} ms ({fl/t/1e12:.1f} TF/s)",
-              flush=True)
+        print(f"prefill B={B} S={S} ({impl}{', w8a8' if w8a8 else ''}): "
+              f"{t*1e3:.1f} ms ({fl/t/1e12:.1f} TF/s)", flush=True)
     del embeds
 
 
