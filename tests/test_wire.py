@@ -115,6 +115,119 @@ def test_encode_frames_i420_matches_rgb():
     assert err / scale < 0.15, f"feature drift {err / scale}"
 
 
+def _write_avi(path, frames):
+    from avi_writer import write_avi
+    write_avi(path, frames, fps=5)
+
+
+def test_cxx_i420_full_range_roundtrip(tmp_path):
+    """media/csrc vd_get_batch_i420: decode -> scale/crop in YUV -> packed
+    FULL-RANGE I420, no host RGB. Solid colors must round-trip tightly —
+    this is the test that catches limited-range leakage (a wrong dstRange
+    clips 255 -> ~236 on saturated primaries)."""
+    from videollama2_tpu.media import video_reader
+    colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255),
+              (128, 128, 128), (200, 50, 120)]
+    frames = np.stack([np.full((32, 64, 3), c, np.uint8) for c in colors])
+    p = str(tmp_path / "solid.avi")
+    _write_avi(p, frames)
+    vr = video_reader.VideoReader(p)
+    try:
+        buf = vr.get_batch_i420(list(range(len(colors))), 32,
+                                clip_crop=True)
+    finally:
+        vr.close()
+    assert buf.shape == (5, 48, 32) and buf.dtype == np.uint8
+    rgb = wire.i420_to_rgb(buf)
+    for i, c in enumerate(colors):
+        err = np.abs(rgb[i] - np.asarray(c, np.float32)).max()
+        assert err <= 3.0, (c, err)
+
+
+def test_cxx_i420_clip_center_crop(tmp_path):
+    """clip_crop=1 reproduces CLIP shortest-edge + center-crop semantics:
+    the centered min(W,H) square is what survives."""
+    from videollama2_tpu.media import video_reader
+    band = np.full((32, 64, 3), (255, 0, 0), np.uint8)
+    band[:, 16:48] = (0, 255, 0)  # the centered 32x32 square is green
+    p = str(tmp_path / "band.avi")
+    _write_avi(p, np.stack([band] * 2))
+    vr = video_reader.VideoReader(p)
+    try:
+        crop = wire.i420_to_rgb(vr.get_batch_i420([0], 32))[0]
+        stretch = wire.i420_to_rgb(
+            vr.get_batch_i420([0], 32, clip_crop=False))[0]
+    finally:
+        vr.close()
+    assert np.abs(crop.reshape(-1, 3).mean(0)
+                  - np.array([0, 255, 0])).max() < 4.0
+    # stretch keeps the red side bands -> red mean well above zero
+    assert stretch.reshape(-1, 3).mean(0)[0] > 60.0
+
+
+def test_cxx_i420_close_to_pil_path(tmp_path):
+    """The native YUV-space resize tracks the PIL-RGB-bicubic path within a
+    loose tolerance on smooth content (documented delta, PARITY.md)."""
+    from videollama2_tpu.core import config as cfglib
+    from videollama2_tpu.media import preprocess as prep
+    rng = np.random.default_rng(7)
+    base = rng.integers(40, 216, (3, 6, 6, 3), dtype=np.uint8)
+    # smooth 48x96 frames (PIL bicubic upsample of a tiny seed)
+    from PIL import Image
+    frames = np.stack([np.asarray(Image.fromarray(b).resize(
+        (96, 48), Image.BICUBIC)) for b in base])
+    p = str(tmp_path / "smooth.avi")
+    _write_avi(p, frames)
+    cfg = cfglib.tiny_model().vision  # clip variant, small image size
+    got = prep.process_video_i420(p, cfg, num_frames=3)
+    ref = wire.rgb_to_i420(prep.process_video(
+        p, cfg, aspect_ratio=None, num_frames=3, out_dtype="uint8"))
+    assert got.shape == ref.shape
+    d = wire.i420_to_rgb(got) - wire.i420_to_rgb(ref)
+    assert np.abs(d).mean() < 8.0, np.abs(d).mean()
+
+
+def test_process_video_i420_pads_black_and_falls_back(tmp_path, monkeypatch):
+    """When the decoder yields fewer frames than requested, the pad rows
+    are BLACK I420 (Y=0, U=V=128 — an all-zero pad decodes green); GIF
+    inputs fall back to the PIL + pack path. Short-but-decodable videos
+    duplicate sampled indices exactly like the RGB path (sampler parity)."""
+    from videollama2_tpu.core import config as cfglib
+    from videollama2_tpu.media import preprocess as prep
+    from videollama2_tpu.media import video_reader
+    from PIL import Image
+    cfg = cfglib.tiny_model().vision
+    S = cfg.image_size
+    frames = np.stack([np.full((32, 32, 3), 90, np.uint8)] * 2)
+    p = str(tmp_path / "short.avi")
+    _write_avi(p, frames)
+
+    # duplicate-index parity with the RGB path
+    out = prep.process_video_i420(p, cfg, num_frames=6)
+    ref = wire.rgb_to_i420(prep.process_video(
+        p, cfg, aspect_ratio=None, num_frames=6, out_dtype="uint8"))
+    assert out.shape == ref.shape == (6, S * 3 // 2, S)
+
+    # decoder-comes-up-short branch: pad must be black
+    real = video_reader.VideoReader.get_batch_i420
+
+    def truncated(self, indices, size, clip_crop=True):
+        return real(self, indices, size, clip_crop)[:2]
+    monkeypatch.setattr(video_reader.VideoReader, "get_batch_i420",
+                        truncated)
+    out3 = prep.process_video_i420(p, cfg, num_frames=6)
+    assert out3.shape == (6, S * 3 // 2, S)
+    assert np.abs(wire.i420_to_rgb(out3[-1:])).max() <= 2.0  # black
+    monkeypatch.undo()
+
+    gif = tmp_path / "g.gif"
+    ims = [Image.fromarray(np.full((20, 20, 3), 60 + 10 * i, np.uint8))
+           for i in range(4)]
+    ims[0].save(str(gif), save_all=True, append_images=ims[1:], duration=50)
+    out2 = prep.process_video_i420(str(gif), cfg, num_frames=4)
+    assert out2.shape == (4, S * 3 // 2, S) and out2.dtype == np.uint8
+
+
 def test_engine_generate_i420_token_parity():
     """Engine greedy tokens from I420 frames == from the equivalent RGB
     frames on chroma-flat inputs (the wire is transparent to decoding)."""

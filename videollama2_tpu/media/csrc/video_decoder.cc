@@ -19,6 +19,7 @@ extern "C" {
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
 #include <libavutil/imgutils.h>
+#include <libavutil/pixdesc.h>
 #include <libswresample/swresample.h>
 #include <libswscale/swscale.h>
 }
@@ -26,6 +27,7 @@ extern "C" {
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <functional>
 #include <string>
 #include <vector>
 
@@ -190,12 +192,85 @@ void write_rgb(VDContext* c, uint8_t* dst) {
             dst_data, dst_linesize);
 }
 
+// Scale + (optionally center-crop) the current frame straight to packed
+// I420 at (S x S) — the host->device wire format (media/wire.py): Y plane
+// [S, S] then the U and V planes, S*S/4 bytes each, in one contiguous
+// [S*3/2, S] buffer. The video never leaves YUV: no host RGB round trip,
+// half the resize work of the RGB path, and the output range is forced to
+// FULL (JPEG) so the device unpack's full-range BT.601 inverse applies to
+// limited-range sources too (sws_setColorspaceDetails dstRange=1).
+//
+// clip_crop=1 reproduces CLIP preprocessing semantics (shortest-edge
+// resize + center crop == scale the centered min(W,H) square to S x S);
+// clip_crop=0 is SigLIP's plain stretch resize.
+bool write_i420(VDContext* c, int S, int clip_crop, uint8_t* dst) {
+  AVFrame* f = c->frame;
+  // stage 1: scale shortest-edge (or stretch) to an intermediate I420
+  int iw = S, ih = S;
+  if (clip_crop) {
+    if (f->width <= f->height)
+      ih = (int)((int64_t)S * f->height / f->width);
+    else
+      iw = (int)((int64_t)S * f->width / f->height);
+    // chroma planes need even dims
+    iw += iw & 1;
+    ih += ih & 1;
+  }
+  // ACCURATE_RND + FULL_CHR_H_INT disable swscale's unscaled special
+  // converters, which ignore sws_setColorspaceDetails — without them a
+  // same-size RGB source comes out LIMITED range (primaries clip at 235)
+  c->sws = sws_getCachedContext(
+      c->sws, f->width, f->height, (AVPixelFormat)f->format, iw, ih,
+      AV_PIX_FMT_YUV420P,
+      SWS_BICUBIC | SWS_ACCURATE_RND | SWS_FULL_CHR_H_INT, nullptr, nullptr,
+      nullptr);
+  if (!c->sws) return false;
+  // force full-range output: the wire's device-side inverse is full-range
+  // BT.601; most streams are limited-range. RGB sources are always full
+  // range regardless of the (usually unset) color_range field.
+  const AVPixFmtDescriptor* desc =
+      av_pix_fmt_desc_get((AVPixelFormat)f->format);
+  int src_range = (f->color_range == AVCOL_RANGE_JPEG ||
+                   (desc && (desc->flags & AV_PIX_FMT_FLAG_RGB)))
+                      ? 1
+                      : 0;
+  const int* coefs = sws_getCoefficients(SWS_CS_ITU601);
+  sws_setColorspaceDetails(c->sws, coefs, src_range, coefs, /*dstRange=*/1,
+                           0, 1 << 16, 1 << 16);
+  std::vector<uint8_t> tmp((size_t)iw * ih * 3 / 2);
+  uint8_t* tdata[4] = {tmp.data(), tmp.data() + (size_t)iw * ih,
+                       tmp.data() + (size_t)iw * ih + (size_t)(iw / 2) *
+                                        (ih / 2),
+                       nullptr};
+  int tls[4] = {iw, iw / 2, iw / 2, 0};
+  sws_scale(c->sws, f->data, f->linesize, 0, f->height, tdata, tls);
+
+  // stage 2: centered S x S crop, plane-wise, into the packed wire layout
+  int x0 = ((iw - S) / 2) & ~1;  // even offsets keep chroma aligned
+  int y0 = ((ih - S) / 2) & ~1;
+  uint8_t* dy = dst;
+  uint8_t* du = dst + (size_t)S * S;
+  uint8_t* dv = du + (size_t)S * S / 4;
+  for (int r = 0; r < S; ++r)
+    std::memcpy(dy + (size_t)r * S, tdata[0] + (size_t)(y0 + r) * iw + x0, S);
+  for (int r = 0; r < S / 2; ++r) {
+    std::memcpy(du + (size_t)r * (S / 2),
+                tdata[1] + (size_t)(y0 / 2 + r) * (iw / 2) + x0 / 2, S / 2);
+    std::memcpy(dv + (size_t)r * (S / 2),
+                tdata[2] + (size_t)(y0 / 2 + r) * (iw / 2) + x0 / 2, S / 2);
+  }
+  return true;
+}
+
 }  // namespace
 
-// Decode frames at `indices` (ascending) into out [n, h, w, 3] uint8.
-// Returns number of frames written (== n on success).
-int vd_get_batch(VDContext* c, const long* indices, int n, uint8_t* out) {
-  const size_t frame_bytes = (size_t)c->width * c->height * 3;
+namespace {
+
+// Shared seek-and-decode batch loop: calls `emit(frame_slot)` for every
+// requested index once the decoder is positioned on (or past) it.
+// (std::function, not a template: this block lives inside extern "C".)
+int batch_loop(VDContext* c, const long* indices, int n, size_t frame_bytes,
+               uint8_t* out, const std::function<bool(uint8_t*)>& emit) {
   int written = 0;
   int64_t last_decoded = -1;
   bool have_frame = false;
@@ -233,10 +308,36 @@ int vd_get_batch(VDContext* c, const long* indices, int n, uint8_t* out) {
       last_decoded = fn;
       have_frame = true;
     }
-    write_rgb(c, out + (size_t)written * frame_bytes);
+    if (!emit(out + (size_t)written * frame_bytes)) return written;
     ++written;
   }
   return written;
+}
+
+}  // namespace
+
+// Decode frames at `indices` (ascending) into out [n, h, w, 3] uint8.
+// Returns number of frames written (== n on success).
+int vd_get_batch(VDContext* c, const long* indices, int n, uint8_t* out) {
+  const size_t frame_bytes = (size_t)c->width * c->height * 3;
+  return batch_loop(c, indices, n, frame_bytes, out, [&](uint8_t* dst) {
+    write_rgb(c, dst);
+    return true;
+  });
+}
+
+// Decode frames at `indices` (ascending), scale (+ center-crop when
+// clip_crop) straight to packed full-range I420 at S x S, into out
+// [n, S*3/2, S] uint8 — the host->device wire buffer (media/wire.py),
+// produced without ever materializing RGB on the host. Returns the number
+// of frames written (== n on success). S must be a multiple of 4.
+int vd_get_batch_i420(VDContext* c, const long* indices, int n, int S,
+                      int clip_crop, uint8_t* out) {
+  if (S < 4 || (S % 4) != 0) return 0;
+  const size_t frame_bytes = (size_t)S * S * 3 / 2;
+  return batch_loop(c, indices, n, frame_bytes, out, [&](uint8_t* dst) {
+    return write_i420(c, S, clip_crop, dst);
+  });
 }
 
 // ---------------------------------------------------------------------------

@@ -22,6 +22,7 @@ Outputs are channels-last [T, H, W, 3] — the TPU-native layout
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -173,3 +174,52 @@ def process_video(video_path, cfg: VisionConfig, s: Optional[float] = None,
     video_data = video_data[:MAX_FRAMES]  # (mm_utils.py:193-194)
 
     return preprocess_frames(video_data, cfg, aspect_ratio, out_dtype)
+
+
+def process_video_i420(video_path, cfg: VisionConfig,
+                       s: Optional[float] = None, e: Optional[float] = None,
+                       num_frames: Optional[int] = NUM_FRAMES) -> np.ndarray:
+    """process_video for the I420 wire: returns packed planar YUV 4:2:0
+    [T, image_size*3/2, image_size] uint8 (media/wire.py layout).
+
+    For container paths with the C++ decoder available, the frames never
+    touch RGB on the host: media/csrc vd_get_batch_i420 scales (and
+    center-crops, CLIP semantics) straight from the stream's native YUV and
+    range-converts to full range — half the wire bytes AND most of the
+    host-side resize/convert CPU of the RGB path. The resize is swscale
+    bicubic in YUV space, a documented delta vs PIL bicubic on RGB
+    (PARITY.md; use process_video + wire.rgb_to_i420 — or wire='rgb' — for
+    PIL-exact pixels). GIF / frame-dir / ndarray inputs fall back to the
+    PIL path + rgb_to_i420 pack (identical wire layout).
+    """
+    from . import video_reader, wire
+
+    if (isinstance(video_path, str) and not os.path.isdir(video_path)
+            and not video_path.endswith(".gif")):
+        try:
+            vr = video_reader.VideoReader(video_path)
+        except (RuntimeError, IOError):
+            vr = None
+        if vr is not None:
+            try:
+                from . import sampler as sampler_lib
+                idx = sampler_lib.sample_indices(len(vr), vr.get_avg_fps(),
+                                                 num_frames, s, e)
+                buf = vr.get_batch_i420(idx, cfg.image_size,
+                                        clip_crop=(cfg.variant == "clip"))
+            finally:
+                vr.close()
+            S = cfg.image_size
+            if num_frames is not None and buf.shape[0] < num_frames:
+                # short-video padding parity (mm_utils.py:190-192): black
+                # frames — in full-range I420 that is Y=0, U=V=128 (an
+                # all-zeros pad would decode to green)
+                pad = np.zeros((num_frames - buf.shape[0], S * 3 // 2, S),
+                               dtype=np.uint8)
+                pad[:, S:] = 128
+                buf = np.concatenate([buf, pad], axis=0)
+            return buf[:MAX_FRAMES]
+
+    rgb = process_video(video_path, cfg, s=s, e=e, aspect_ratio=None,
+                        num_frames=num_frames, out_dtype="uint8")
+    return wire.rgb_to_i420(rgb)

@@ -56,6 +56,10 @@ def _load_lib():
         lib.vd_get_batch.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_long), ctypes.c_int,
             ctypes.POINTER(ctypes.c_ubyte)]
+        lib.vd_get_batch_i420.restype = ctypes.c_int
+        lib.vd_get_batch_i420.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_long), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte)]
         lib.ad_decode.restype = ctypes.c_long
         lib.ad_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_int,
@@ -101,6 +105,27 @@ class VideoReader:
             # truncated stream: repeat last decoded frame (decord-compatible
             # behavior is to error; we degrade gracefully like train.py's
             # corrupt-sample retry path expects)
+            if n == 0:
+                raise IOError("failed to decode any frames")
+            out[n:] = out[n - 1]
+        return out[order] if not np.all(order == np.arange(len(idx))) else out
+
+    def get_batch_i420(self, indices: Sequence[int], size: int,
+                       clip_crop: bool = True) -> np.ndarray:
+        """Decode frames at `indices`, scale (+ center-crop for CLIP
+        semantics when clip_crop) straight to packed FULL-RANGE I420 at
+        (size x size) in C++ — the host->device wire buffer (media/wire.py)
+        with no host RGB round trip. Returns [N, size*3/2, size] uint8."""
+        if size % 4:
+            raise ValueError(f"I420 size must be a multiple of 4: {size}")
+        idx = np.asarray(sorted(int(i) for i in indices), dtype=np.int64)
+        order = np.argsort(np.argsort([int(i) for i in indices]))
+        out = np.empty((len(idx), size * 3 // 2, size), dtype=np.uint8)
+        n = self._lib.vd_get_batch_i420(
+            self._ctx, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            len(idx), size, int(clip_crop),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+        if n < len(idx):
             if n == 0:
                 raise IOError("failed to decode any frames")
             out[n:] = out[n - 1]

@@ -193,10 +193,18 @@ class ModelWorker:
             want_av = (cfg.audio is not None
                        and params.get("modal", "av") == "av")
             try:
-                tensor = _pack(process_video(video, vis_cfg,
-                                             aspect_ratio=None,
-                                             num_frames=num_frames,
-                                             out_dtype=out_dtype))
+                if self.wire == "i420":
+                    # full native path: C++ decode -> scale/crop in YUV ->
+                    # packed I420, no host RGB round trip
+                    # (media/preprocess.process_video_i420)
+                    from ..media.preprocess import process_video_i420
+                    tensor = process_video_i420(video, vis_cfg,
+                                                num_frames=num_frames)
+                else:
+                    tensor = process_video(video, vis_cfg,
+                                           aspect_ratio=None,
+                                           num_frames=num_frames,
+                                           out_dtype=out_dtype)
                 if want_av:
                     from ..inference.api import _prep_av_audio
                     feats = _prep_av_audio(video, cfg)
