@@ -165,6 +165,35 @@ def test_cxx_i420_clip_center_crop(tmp_path):
     assert stretch.reshape(-1, 3).mean(0)[0] > 60.0
 
 
+def test_cxx_i420_limited_range_same_size(tmp_path):
+    """Limited-range YUV sources whose dims already equal the target hit
+    swscale's unscaled planar copy, which silently ignores
+    sws_setColorspaceDetails — the decoder must expand studio->full range
+    itself (the LUT pass in write_i420). White at Y=235 must come out 255,
+    not stay 235 (washed-out frames on the DEFAULT serving wire)."""
+    from videollama2_tpu.media import video_reader
+    S = 32
+    # Y4M: raw yuv420p container, range unspecified -> limited assumed
+    hdr = f"YUV4MPEG2 W{S} H{S} F5:1 Ip A1:1 C420\n".encode()
+    def frame(y, u, v):
+        return (b"FRAME\n" + bytes([y]) * (S * S)
+                + bytes([u]) * (S * S // 4) + bytes([v]) * (S * S // 4))
+    p = tmp_path / "limited.y4m"
+    p.write_bytes(hdr + frame(235, 128, 128)   # studio white
+                  + frame(16, 128, 128)        # studio black
+                  + frame(81, 90, 240))        # studio-range red
+    vr = video_reader.VideoReader(str(p))
+    try:
+        rgb = wire.i420_to_rgb(vr.get_batch_i420([0, 1, 2], S,
+                                                 clip_crop=False))
+    finally:
+        vr.close()
+    assert np.abs(rgb[0] - 255.0).max() <= 2.0, rgb[0].mean((0, 1))
+    assert np.abs(rgb[1]).max() <= 2.0, rgb[1].mean((0, 1))
+    red = rgb[2].reshape(-1, 3).mean(0)
+    assert red[0] > 240 and red[1] < 25 and red[2] < 25, red
+
+
 def test_cxx_i420_close_to_pil_path(tmp_path):
     """The native YUV-space resize tracks the PIL-RGB-bicubic path within a
     loose tolerance on smooth content (documented delta, PARITY.md)."""

@@ -225,9 +225,16 @@ bool write_i420(VDContext* c, int S, int clip_crop, uint8_t* dst) {
       SWS_BICUBIC | SWS_ACCURATE_RND | SWS_FULL_CHR_H_INT, nullptr, nullptr,
       nullptr);
   if (!c->sws) return false;
-  // force full-range output: the wire's device-side inverse is full-range
-  // BT.601; most streams are limited-range. RGB sources are always full
-  // range regardless of the (usually unset) color_range field.
+  // The wire's device-side inverse is full-range BT.601; most streams are
+  // limited-range. swscale CANNOT be trusted to do the range expansion:
+  // its unscaled converters (chosen e.g. for same-size yuv420p sources)
+  // silently ignore sws_setColorspaceDetails. So the range never changes
+  // inside sws (srcRange == dstRange — range expansion is affine, and
+  // bicubic resampling is linear, so expanding AFTER the scale is
+  // equivalent up to +-1 rounding), and limited sources are expanded to
+  // full range by an exact LUT pass over the small scaled planes below.
+  // RGB sources are always full range regardless of the (usually unset)
+  // color_range field.
   const AVPixFmtDescriptor* desc =
       av_pix_fmt_desc_get((AVPixelFormat)f->format);
   int src_range = (f->color_range == AVCOL_RANGE_JPEG ||
@@ -235,8 +242,8 @@ bool write_i420(VDContext* c, int S, int clip_crop, uint8_t* dst) {
                       ? 1
                       : 0;
   const int* coefs = sws_getCoefficients(SWS_CS_ITU601);
-  sws_setColorspaceDetails(c->sws, coefs, src_range, coefs, /*dstRange=*/1,
-                           0, 1 << 16, 1 << 16);
+  sws_setColorspaceDetails(c->sws, coefs, src_range, coefs, src_range, 0,
+                           1 << 16, 1 << 16);
   std::vector<uint8_t> tmp((size_t)iw * ih * 3 / 2);
   uint8_t* tdata[4] = {tmp.data(), tmp.data() + (size_t)iw * ih,
                        tmp.data() + (size_t)iw * ih + (size_t)(iw / 2) *
@@ -244,6 +251,28 @@ bool write_i420(VDContext* c, int S, int clip_crop, uint8_t* dst) {
                        nullptr};
   int tls[4] = {iw, iw / 2, iw / 2, 0};
   sws_scale(c->sws, f->data, f->linesize, 0, f->height, tdata, tls);
+
+  if (!src_range) {
+    // limited (studio) -> full range: Y (x-16)*255/219, C (x-128)*255/224
+    // + 128, clipped — C++11 magic statics make the LUT init thread-safe
+    static const auto luts = [] {
+      struct {
+        uint8_t y[256], c[256];
+      } t;
+      for (int i = 0; i < 256; ++i) {
+        int y = (int)((i - 16) * 255.0 / 219.0 + 0.5);
+        int cc = (int)((i - 128) * 255.0 / 224.0 +
+                       (i >= 128 ? 128.5 : 127.5));
+        t.y[i] = (uint8_t)std::min(255, std::max(0, y));
+        t.c[i] = (uint8_t)std::min(255, std::max(0, cc));
+      }
+      return t;
+    }();
+    uint8_t* yp = tmp.data();
+    for (size_t i = 0; i < (size_t)iw * ih; ++i) yp[i] = luts.y[yp[i]];
+    uint8_t* cp = tmp.data() + (size_t)iw * ih;
+    for (size_t i = 0; i < (size_t)iw * ih / 2; ++i) cp[i] = luts.c[cp[i]];
+  }
 
   // stage 2: centered S x S crop, plane-wise, into the packed wire layout
   int x0 = ((iw - S) / 2) & ~1;  // even offsets keep chroma aligned

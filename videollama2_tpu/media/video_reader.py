@@ -93,14 +93,14 @@ class VideoReader:
     def get_avg_fps(self) -> float:
         return self.fps
 
-    def get_batch(self, indices: Sequence[int]) -> np.ndarray:
-        """Decode frames at `indices` -> [N, H, W, 3] uint8 (RGB)."""
+    def _decode_batch(self, indices: Sequence[int], frame_shape, call):
+        """Shared batch plumbing: sorted-index decode via `call(idx_ptr, n,
+        out_ptr)`, original-order restore, truncated-stream padding."""
         idx = np.asarray(sorted(int(i) for i in indices), dtype=np.int64)
         order = np.argsort(np.argsort([int(i) for i in indices]))
-        out = np.empty((len(idx), self.height, self.width, 3), dtype=np.uint8)
-        n = self._lib.vd_get_batch(
-            self._ctx, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
-            len(idx), out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+        out = np.empty((len(idx),) + frame_shape, dtype=np.uint8)
+        n = call(idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)), len(idx),
+                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
         if n < len(idx):
             # truncated stream: repeat last decoded frame (decord-compatible
             # behavior is to error; we degrade gracefully like train.py's
@@ -110,6 +110,12 @@ class VideoReader:
             out[n:] = out[n - 1]
         return out[order] if not np.all(order == np.arange(len(idx))) else out
 
+    def get_batch(self, indices: Sequence[int]) -> np.ndarray:
+        """Decode frames at `indices` -> [N, H, W, 3] uint8 (RGB)."""
+        return self._decode_batch(
+            indices, (self.height, self.width, 3),
+            lambda ip, n, op: self._lib.vd_get_batch(self._ctx, ip, n, op))
+
     def get_batch_i420(self, indices: Sequence[int], size: int,
                        clip_crop: bool = True) -> np.ndarray:
         """Decode frames at `indices`, scale (+ center-crop for CLIP
@@ -118,18 +124,10 @@ class VideoReader:
         with no host RGB round trip. Returns [N, size*3/2, size] uint8."""
         if size % 4:
             raise ValueError(f"I420 size must be a multiple of 4: {size}")
-        idx = np.asarray(sorted(int(i) for i in indices), dtype=np.int64)
-        order = np.argsort(np.argsort([int(i) for i in indices]))
-        out = np.empty((len(idx), size * 3 // 2, size), dtype=np.uint8)
-        n = self._lib.vd_get_batch_i420(
-            self._ctx, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
-            len(idx), size, int(clip_crop),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
-        if n < len(idx):
-            if n == 0:
-                raise IOError("failed to decode any frames")
-            out[n:] = out[n - 1]
-        return out[order] if not np.all(order == np.arange(len(idx))) else out
+        return self._decode_batch(
+            indices, (size * 3 // 2, size),
+            lambda ip, n, op: self._lib.vd_get_batch_i420(
+                self._ctx, ip, n, size, int(clip_crop), op))
 
     def close(self):
         if getattr(self, "_ctx", None):

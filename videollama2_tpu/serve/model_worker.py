@@ -60,6 +60,11 @@ class ModelWorker:
         from ..inference import api as api_lib
         from ..multimodal.tokenizer import get_model_name_from_path
 
+        # validate BEFORE the checkpoint load: a bad wire string must not
+        # cost a multi-minute 7B model_init first
+        if wire not in ("i420", "rgb", "fp32"):
+            raise ValueError(f"wire must be i420|rgb|fp32, got {wire}")
+        self.wire = wire
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.model_name = model_name or get_model_name_from_path(model_path)
@@ -82,13 +87,10 @@ class ModelWorker:
         if num_frames:
             self.model.config = self.model.config.replace(
                 num_frames=num_frames)
-        # frame wire format (media/wire.py): "i420" ships planar YUV 4:2:0
+        # wire semantics (media/wire.py): "i420" ships planar YUV 4:2:0
         # (1.5 B/px, the decoder's native chroma — the default fast path),
         # "rgb" ships resized uint8 RGB (3 B/px, exact chroma), "fp32"
         # ships host-normalized floats (12 B/px, HF-float parity)
-        if wire not in ("i420", "rgb", "fp32"):
-            raise ValueError(f"wire must be i420|rgb|fp32, got {wire}")
-        self.wire = wire
         self.speculative_k = speculative_k
         self.session_store = None
         if session_cache > 0 and not dynamic_batch:
