@@ -72,6 +72,17 @@ def main():
                           model, tokenizer, modal="video", max_new_tokens=8)
     print("BATCH ANSWERS:", [repr(o) for o in outs])
     assert len(outs) == 2
+
+    # I420 wire leg (media/wire.py — the serving default): same engine,
+    # packed planar frames in, device-side unpack
+    from videollama2_tpu.media import wire
+    u8 = processor["video"](video_path)
+    assert u8.dtype == np.uint8, u8.dtype  # production processors emit uint8
+    packed = wire.rgb_to_i420(u8)
+    out4 = videollama2_tpu.mm_infer(packed, "What happens in the video ?",
+                                    model, tokenizer, modal="video",
+                                    max_new_tokens=8)
+    print("I420 ANSWER:", repr(out4))
     print("E2E OK")
 
 

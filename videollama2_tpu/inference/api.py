@@ -253,8 +253,11 @@ def mm_infer(image_or_video, instruct, model: VideoLLaMA2, tokenizer,
              modal: str = "video", **kwargs) -> str:
     """Single-sample multimodal inference; parity videollama2/__init__.py:32-114.
 
-    image_or_video: [T, H, W, 3] float32 numpy (channels-last; the TPU-native
-    layout produced by this package's processors).
+    image_or_video: [T, H, W, 3] numpy — float32 (host-normalized, HF
+    parity) or uint8 (resized raw RGB, normalized on device) — or packed
+    planar I420 [T, H*3/2, W] uint8 from the wire="i420" processors
+    (media/wire.py); all three are produced by this package's processors
+    and decode identically up to the documented chroma delta.
     """
     cfg = model.config
     frames = None
