@@ -43,16 +43,19 @@ class VideoLLaMA2:
         return self.config.model_type
 
 
-def _apply_wire(processor: dict, wire: str) -> dict:
+def _apply_wire(processor: dict, wire: str, cfg=None) -> dict:
     """Opt-in I420 wire for the processor closures (media/wire.py): their
     uint8 RGB output packs to planar YUV 4:2:0 — half the host->device
     bytes per request; the engine unpacks on device (encode_frames).
+    Container-path video requests take the fully native route
+    (media/csrc scale/crop in YUV, no host RGB — process_video_i420).
     Default "rgb" keeps the reference-shaped [T, H, W, 3] contract."""
     if wire == "rgb":
         return processor
     if wire != "i420":
         raise ValueError(f"wire must be 'rgb' or 'i420', got {wire!r}")
     from ..media import wire as wire_lib
+    from ..media.preprocess import process_video_i420
 
     def wrap(fn):
         def packed(*a, **k):
@@ -62,10 +65,24 @@ def _apply_wire(processor: dict, wire: str) -> dict:
             return wire_lib.rgb_to_i420(out)
         return packed
 
+    def wrap_video(fn):
+        nf = (cfg.num_frames or NUM_FRAMES) if cfg is not None else None
+
+        def packed(video_path, *a, **k):
+            if (cfg is not None and isinstance(video_path, str)
+                    and not a and set(k) <= {"s", "e", "num_frames"}):
+                return process_video_i420(
+                    video_path, cfg.vision, s=k.get("s"), e=k.get("e"),
+                    num_frames=k.get("num_frames", nf))
+            return wire_lib.rgb_to_i420(fn(video_path, *a, **k))
+        return packed
+
     out = dict(processor)
-    for key in ("image", "video", "av"):
+    for key in ("image", "av"):
         if key in out:
             out[key] = wrap(out[key])
+    if "video" in out:
+        out["video"] = wrap_video(out["video"])
     return out
 
 
@@ -99,7 +116,7 @@ def model_init(model_path: Optional[str] = None, dtype=None,
         # are constant fills — throughput numbers are real, answers are not.
         model, processor, tokenizer = _model_init_synthetic(
             model_path, dtype, max_len, **kwargs)
-        return model, _apply_wire(processor, wire), tokenizer
+        return model, _apply_wire(processor, wire, model.config), tokenizer
 
     cfg, params = convert_hf.load_videollama2(
         model_path, model_base=model_base,
@@ -140,7 +157,7 @@ def model_init(model_path: Optional[str] = None, dtype=None,
         processor["audio"] = functools.partial(_prep_audio, cfg=cfg)
         processor["av"] = functools.partial(_prep_av, cfg=cfg,
                                             num_frames=num_frames)
-    return model, _apply_wire(processor, wire), tokenizer
+    return model, _apply_wire(processor, wire, cfg), tokenizer
 
 
 def _model_init_synthetic(model_path: str, dtype, max_len: int, **kwargs):
