@@ -39,15 +39,14 @@ run() {
   echo "$(date +%T) DONE $name rc=$?" >> /tmp/tpu_queue/status.log
 }
 
-# ---- round 5d queue (per-config refreshes on the I420 wire) ----
-# int4 at the headline batch: int4 weights (3.6 GB) + kv8 cache leave
-# B=16 plenty of HBM headroom; decode weight-DMA halves vs int8
-run bench_int4_b16 2400 env BENCH_BITS=4 python bench.py
-# qwen2 flagship on the new wire (its SigLIP 384px frames were 57 MB RGB)
-run bench_qwen2_i420 2400 env BENCH_MODEL=qwen2 python bench.py
-# isolated decode at the int4+kv8 B=16 shape (floor bookkeeping)
-run profile_decode_int4_kv8_b16 1200 env BITS=4 KV_BITS=8 B=16 MAXLEN=2048 python scripts/profile_decode.py
-# headline repeat for a third weather sample
-run bench_i420_c 2400 python bench.py
+# ---- round 5h queue (batch-scaling curve + HEAD revalidation) ----
+# B=32 probe: the iteration is prefill-bound (DESIGN.md attribution), so
+# doubling the batch past 16 should gain only the decode+fixed-cost
+# amortization (~5%) — measure it (or the OOM) to pin the B=16 sweet spot
+run bench_b32 2400 env BENCH_BATCH=32 BENCH_ITERS=8 BENCH_MAX_ITERS=12 python bench.py
+# same probe on int4 weights (4 GB more HBM headroom if int8 B=32 OOMs)
+run bench_b32_int4 2400 env BENCH_BATCH=32 BENCH_BITS=4 BENCH_ITERS=8 BENCH_MAX_ITERS=12 python bench.py
+# headline revalidation at HEAD (post range-fix/native-i420 commits)
+run bench_head_reval 2400 python bench.py
 
 echo "$(date +%T) queue complete" >> /tmp/tpu_queue/status.log

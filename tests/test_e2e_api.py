@@ -95,6 +95,41 @@ def test_model_init_i420_wire(loaded, ckpt, tmp_path):
         videollama2_tpu.model_init(ckpt, dtype=jnp.float32, wire="bogus")
 
 
+def test_i420_wire_container_takes_native_route(ckpt, tmp_path):
+    """For CONTAINER video paths, the wire='i420' processor must route
+    through media.preprocess.process_video_i420 (C++ decode -> scale/crop
+    in YUV -> packed wire buffer, no host RGB) — byte-identical to calling
+    it directly — while the GIF/ndarray fallback (rgb_to_i420 over the PIL
+    path) stays available for s/e clipping kwargs and non-container
+    sources (inference/api._apply_wire.wrap_video)."""
+    import jax.numpy as jnp
+    import videollama2_tpu
+    from videollama2_tpu.media.preprocess import process_video_i420
+
+    from avi_writer import write_avi
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 255, (6, 40, 56, 3), dtype=np.uint8)
+    p = str(tmp_path / "clip.avi")
+    write_avi(p, frames, fps=5)
+
+    model, processor, tokenizer = videollama2_tpu.model_init(
+        ckpt, dtype=jnp.float32, max_len=256, buckets=(128,),
+        attn_impl="xla", wire="i420")
+    cfg = model.config
+    got = processor["video"](p)
+    want = process_video_i420(p, cfg.vision, num_frames=cfg.num_frames)
+    assert got.dtype == np.uint8
+    assert got.shape == (cfg.num_frames,
+                         cfg.vision.image_size * 3 // 2,
+                         cfg.vision.image_size)
+    np.testing.assert_array_equal(got, want)
+
+    out = videollama2_tpu.mm_infer(got, "What happens ?", model, tokenizer,
+                                   modal="video", max_new_tokens=6)
+    assert isinstance(out, str) and len(out) > 0
+
+
 def test_mm_infer_text_deterministic(loaded):
     import videollama2_tpu
     model, _, tokenizer = loaded

@@ -358,3 +358,44 @@ def test_small_row_quant_path_gated_on_inference_context():
             assert err / scale < 0.05, (err, scale)
         finally:
             layers_ops._on_tpu = orig
+
+
+def test_quant_contexts_are_thread_local():
+    """The quant-routing contexts must not leak across threads: the serving
+    stack traces engine programs from ThreadingHTTPServer handler threads
+    and the DynamicBatcher's collector thread concurrently, so a module-
+    global flag would let one thread's __exit__ flip routing mid-trace of
+    another thread's program and permanently cache a mixed-path executable
+    (trace-time == caller-thread-time: the contexts wrap INSIDE the jitted
+    body, inference/engine._get_prefill)."""
+    import threading
+
+    from videollama2_tpu.ops import layers as layers_ops
+
+    entered = threading.Event()
+    release = threading.Event()
+    seen = {}
+
+    def holder():
+        with layers_ops.quant_inference(True), layers_ops.w8a8_prefill(True):
+            entered.set()
+            release.wait(timeout=10)
+            # this thread still sees its own flags after the main thread's
+            # context cycled
+            seen["inner"] = (layers_ops._quant_inference_enabled(),
+                             layers_ops._w8a8_large_rows_enabled())
+
+    t = threading.Thread(target=holder)
+    t.start()
+    try:
+        assert entered.wait(timeout=10)
+        # main thread: unaffected by the holder thread's active contexts
+        assert not layers_ops._quant_inference_enabled()
+        assert not layers_ops._w8a8_large_rows_enabled()
+        # cycle the contexts here; the holder's state must survive it
+        with layers_ops.quant_inference(True):
+            pass
+    finally:
+        release.set()
+        t.join(timeout=10)
+    assert seen["inner"] == (True, True)

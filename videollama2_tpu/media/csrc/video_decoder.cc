@@ -274,8 +274,13 @@ bool write_i420(VDContext* c, int S, int clip_crop, uint8_t* dst) {
     for (size_t i = 0; i < (size_t)iw * ih / 2; ++i) cp[i] = luts.c[cp[i]];
   }
 
-  // stage 2: centered S x S crop, plane-wise, into the packed wire layout
-  int x0 = ((iw - S) / 2) & ~1;  // even offsets keep chroma aligned
+  // stage 2: centered S x S crop, plane-wise, into the packed wire layout.
+  // Offsets round DOWN to even: 4:2:0 chroma rows/cols exist only at even
+  // luma coordinates, so an odd offset would shift chroma half a sample
+  // against luma. Cost: up to 1 px left/up of PIL's exact (iw-S)/2 center
+  // — a documented wire delta (PARITY.md), NOT a bug to "fix" with odd
+  // offsets.
+  int x0 = ((iw - S) / 2) & ~1;
   int y0 = ((ih - S) / 2) & ~1;
   uint8_t* dy = dst;
   uint8_t* du = dst + (size_t)S * S;

@@ -187,10 +187,12 @@ def process_video_i420(video_path, cfg: VisionConfig,
     center-crops, CLIP semantics) straight from the stream's native YUV and
     range-converts to full range — half the wire bytes AND most of the
     host-side resize/convert CPU of the RGB path. The resize is swscale
-    bicubic in YUV space, a documented delta vs PIL bicubic on RGB
-    (PARITY.md; use process_video + wire.rgb_to_i420 — or wire='rgb' — for
-    PIL-exact pixels). GIF / frame-dir / ndarray inputs fall back to the
-    PIL path + rgb_to_i420 pack (identical wire layout).
+    bicubic in YUV space, and the center-crop offset rounds DOWN to even
+    (4:2:0 chroma siting needs x0/y0 % 2 == 0), up to 1 px left/up of
+    PIL's exact center — both documented deltas vs PIL-on-RGB (PARITY.md;
+    use process_video + wire.rgb_to_i420 — or wire='rgb' — for PIL-exact
+    pixels). GIF / frame-dir / ndarray inputs fall back to the PIL path +
+    rgb_to_i420 pack (identical wire layout).
     """
     from . import video_reader, wire
 

@@ -103,7 +103,16 @@ def _quantize_kv_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def _dequant_kv(ck: jax.Array, cs: jax.Array, dtype) -> jax.Array:
-    """[B, M, Hkv*hd] int8 + [B, Hkv, M] scales -> [B, M, Hkv, hd] dtype."""
+    """[B, M, Hkv*hd] int8 + [B, Hkv, M] scales -> [B, M, Hkv, hd] dtype.
+
+    Correctness fallback, not a fast path: callers (the XLA decode_step
+    body and decode_verify) rebuild the FULL dequantized cache in-graph
+    every step, so kv_bits=8 WITHOUT int8 weight packs — or any
+    speculative verify over a quantized cache — trades the halved cache
+    reads for an extra bf16 materialize per layer. The serving defaults
+    (int8/int4 weights + plain decode) never hit this: they take the
+    Pallas _decode_step_q8 kernel, which dequantizes int8 blocks in VMEM.
+    docs/DESIGN.md "kv8 fallback cost" records the measured envelope."""
     B, M, KH = ck.shape
     K = cs.shape[1]
     hd = KH // K

@@ -81,19 +81,27 @@ def _flash_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *rest,
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, upper, body, (acc0, m0, l0))
-    # fully-masked rows (pad queries): l == 0 -> emit zeros, not NaN
+    # Fully-masked rows (only possible at valid_len == 0, which no caller
+    # produces): every s is NEG_INF, so m stays NEG_INF, p = exp(0) = 1 and
+    # l counts visited columns — the row emits mean(v), exactly matching
+    # the XLA path's softmax-of-all-NEG_INF (attention.mha_xla), and its
+    # gradients are exactly zero (the backward zeroes p via the explicit
+    # mask, never via exp). The l == 0 guard below is pure div-by-zero
+    # safety for degenerate grids, not the masked-row path.
     out = acc / jnp.where(l == 0.0, 1.0, l)
     o_ref[0, 0] = out.astype(o_ref.dtype)
     if with_lse:
         # log-sum-exp per query row, consumed by the tiled backward
         # (p = exp(s - lse) reconstructs softmax rows without renormalizing).
+        # Fully-masked rows land on m + log(count) = NEG_INF exactly (f32
+        # absorbs the +log(n) — NEG_INF's ulp is ~1e21), so downstream
+        # where(mask, exp(s - lse), 0) stays finite-by-masking.
         # Stored lane-broadcast as [.., block_q, 128]: Mosaic requires the
         # last two block dims (sublane, lane) be (8k, 128k) or whole-dim, so
         # a [B, H, S] layout with (1, 1, bq) blocks does not lower — same
         # scheme as jax.experimental.pallas.ops.tpu.flash_attention's l/m
         # outputs (MIN_BLOCK_SIZE trailing dim).
         lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
-        lse = jnp.where(l == 0.0, NEG_INF, lse)          # padded rows
         rest[0][0, 0] = jnp.broadcast_to(lse, (block_q, 128))
 
 
@@ -419,11 +427,17 @@ def flash_attention_vjp(q, k, v, valid_len, causal, scale):
 def _fwd(q, k, v, valid_len, causal, scale):
     out, lse = flash_attention(q, k, v, valid_len, causal, scale,
                                return_lse=True)
-    return out, (q, k, v, out, lse, valid_len)
+    # Residual-stash only one lane: the 128-lane broadcast is a Mosaic
+    # OUTPUT-layout requirement, not information — keeping it as a
+    # residual would hold 128x the bytes live from forward to backward
+    # (134 MB/layer at 7B S=2048 B=4 without remat). _bwd re-broadcasts
+    # transiently for the kernels' block shape.
+    return out, (q, k, v, out, lse[..., :1], valid_len)
 
 
 def _bwd(causal, scale, res, g):
-    q, k, v, o, lse, valid_len = res
+    q, k, v, o, lse1, valid_len = res
+    lse = jnp.broadcast_to(lse1, lse1.shape[:-1] + (128,))
     dq, dk, dv = flash_attention_bwd(q, k, v, o, lse, g, valid_len,
                                      causal, scale)
     return dq, dk, dv, None

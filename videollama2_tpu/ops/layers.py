@@ -9,6 +9,7 @@ float32 regardless of the compute dtype.
 from __future__ import annotations
 
 import math
+import threading
 from contextlib import contextmanager
 from typing import Optional, Tuple
 
@@ -167,16 +168,21 @@ def dense(x: jax.Array, p: dict) -> jax.Array:
     return y
 
 
-_W8A8_LARGE_ROWS = False
-_QUANT_INFERENCE = False
+# Per-THREAD flags: the serving stack traces engine programs from multiple
+# threads (ThreadingHTTPServer handlers, DynamicBatcher's collector thread);
+# with a module global, one thread's context __exit__ could flip the flag
+# mid-trace of another thread's program and silently cache a mixed-path
+# executable. Trace-time is caller-thread-time (the contexts wrap INSIDE the
+# jitted body, engine._get_prefill), so thread-local state is exact.
+_QUANT_FLAGS = threading.local()
 
 
 def _w8a8_large_rows_enabled() -> bool:
-    return _W8A8_LARGE_ROWS
+    return getattr(_QUANT_FLAGS, "w8a8_large_rows", False)
 
 
 def _quant_inference_enabled() -> bool:
-    return _QUANT_INFERENCE
+    return getattr(_QUANT_FLAGS, "quant_inference", False)
 
 
 @contextmanager
@@ -191,13 +197,12 @@ def quant_inference(enabled: bool = True):
     its inference jits (prefill/decode/verify) in it, while training traces
     stay on the dequantize path whose gradient is exact. The large-row
     `w8a8_prefill` context remains its own (inference-only) switch."""
-    global _QUANT_INFERENCE
-    prev = _QUANT_INFERENCE
-    _QUANT_INFERENCE = enabled
+    prev = _quant_inference_enabled()
+    _QUANT_FLAGS.quant_inference = enabled
     try:
         yield
     finally:
-        _QUANT_INFERENCE = prev
+        _QUANT_FLAGS.quant_inference = prev
 
 
 @contextmanager
@@ -209,13 +214,12 @@ def w8a8_prefill(enabled: bool = True):
     has zero gradient, so training keeps the dequant path. Mirrors
     bitsandbytes LLM.int8(), which also computes int8 GEMMs when the
     reference loads with load_8bit (model/__init__.py:59-69)."""
-    global _W8A8_LARGE_ROWS
-    prev = _W8A8_LARGE_ROWS
-    _W8A8_LARGE_ROWS = enabled
+    prev = _w8a8_large_rows_enabled()
+    _QUANT_FLAGS.w8a8_large_rows = enabled
     try:
         yield
     finally:
-        _W8A8_LARGE_ROWS = prev
+        _QUANT_FLAGS.w8a8_large_rows = prev
 
 
 def dense_w8a8(x: jax.Array, pack: dict) -> jax.Array:
