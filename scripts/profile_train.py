@@ -437,13 +437,17 @@ def _attribution(cfg, state, batch, train_step, tx, mask, remat, t_step,
               f"+ opt {t_opt*1e3:.1f} "
               f"+ residual {(t_step-t_grad-t_opt)*1e3:.1f} ms", flush=True)
         if t_vit is not None and t_llm_fwd is not None:
+            # t_head can be None when its stage failed remote compile
+            # (the exact failure mode timed() is built to survive)
+            head_bwd = ("?" if t_head is None
+                        else f"{max(t_head - t_head/3, 0)*1e3:.1f}")
             print(f"  grad {t_grad*1e3:.1f} = fwd {t_fwd*1e3:.1f} "
                   f"(vit {t_vit*1e3:.1f} + llm {t_llm_fwd*1e3:.1f} "
                   f"+ head/other {(t_fwd-t_vit-t_llm_fwd)*1e3:.1f}) "
                   f"+ remat re-forward ~{reforward*1e3:.1f} "
                   f"+ bwd proper ~{bwd_proper*1e3:.1f} ms "
                   f"(of which attention bwd {attn_b_all*1e3:.1f}, "
-                  f"head bwd ~{max(t_head - t_head/3, 0)*1e3:.1f})",
+                  f"head bwd ~{head_bwd})",
                   flush=True)
 
 

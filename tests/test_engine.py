@@ -260,3 +260,24 @@ def test_engine_build_bounded_dispatches(monkeypatch):
     # untouched int8 packs pass through as the same objects: zero copies
     assert out["llm"]["layers"]["o"]["kernel_q8"]["q"] \
         is resident["llm"]["layers"]["o"]["kernel_q8"]["q"]
+
+
+def test_default_device_guard_accepts_platform_string(tiny):
+    """jax.default_device also accepts a PLATFORM STRING ('cpu'); the
+    engine guard must resolve it to the device it denotes instead of
+    comparing str != Device (which raised spuriously when the default
+    device WAS the engine's own target — e.g. any CPU-forced script
+    wrapping generate() in `with jax.default_device('cpu')`)."""
+    cfg, params = tiny
+    eng = Engine(cfg, params, dtype=jnp.float32, max_len=64,
+                 buckets=(32,), attn_impl="xla", decode_chunk=4)
+    assert eng._target_device == jax.devices("cpu")[0]
+    g = GenerationConfig(max_new_tokens=2)
+    with jax.default_device("cpu"):
+        out = eng.generate([[3, 4, 5]], gen=g, eos_token_id=-1)
+    assert len(out[0]) == 2
+    # a genuinely different default device must still raise
+    other = jax.devices()[1]
+    with jax.default_device(other):
+        with pytest.raises(RuntimeError, match="default_device"):
+            eng.generate([[3, 4, 5]], gen=g, eos_token_id=-1)

@@ -399,3 +399,35 @@ def test_quant_contexts_are_thread_local():
         release.set()
         t.join(timeout=10)
     assert seen["inner"] == (True, True)
+
+
+def test_force_native_quant_routes_off_tpu():
+    """ops.layers.force_native_quant must engage the W8A8/W4A8 s8-dot
+    paths on a non-TPU backend (the quant-accuracy harness depends on it:
+    without the force, its "int8+w8a8" variant silently re-measures the
+    dequant path — bit-identical to plain int8 — because dense() is
+    backend-gated)."""
+    from videollama2_tpu.ops import layers as layers_ops
+
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.standard_normal((32, 16)), jnp.float32)
+    # non-multiple-of-quant-step activations so the round() is visible
+    x = jnp.asarray(rng.standard_normal((4, 32)) * 1.7, jnp.float32)
+    p = {"kernel_q8": quant.quantize_int8(w, axis=-2)}
+
+    assert not layers_ops._on_tpu()  # the premise of this test
+    y_dequant = layers_ops.dense(x, p)
+    with layers_ops.quant_inference(True):
+        # context alone (no force, off-TPU): still the dequant path
+        y_gated = layers_ops.dense(x, p)
+    np.testing.assert_array_equal(np.asarray(y_dequant),
+                                  np.asarray(y_gated))
+    with layers_ops.quant_inference(True), \
+            layers_ops.force_native_quant(True):
+        y_forced = layers_ops.dense(x, p)
+    ref = np.asarray(layers_ops.dense_w8a8(x, p["kernel_q8"]))
+    np.testing.assert_array_equal(np.asarray(y_forced), ref)
+    # the activation round makes the s8 path bit-different from dequant
+    assert np.abs(ref - np.asarray(y_dequant)).max() > 0
+    # and the flag restores on exit
+    assert not layers_ops._force_native_enabled()

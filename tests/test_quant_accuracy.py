@@ -2,11 +2,14 @@
 
 Pins that on the HF-converted tiny parity fixture, int8 weights, W8A8
 prefill and the int8 KV cache keep teacher-forced top-1 agreement with the
-full-precision reference at >= 95% (measured: 100% each, KL <= 1e-6 —
-random weights produce near-uniform logits, the WORST case for agreement,
-so the bound is conservative). int4 is reported, not gated: its measured
-~85% tiny-fixture agreement is the documented trade of the load_4bit
-serving configuration (DESIGN.md), mirroring bitsandbytes NF4's known drift
+full-precision reference at >= 95% (measured: ~99% / KL <= 1e-6 — random
+weights produce near-uniform logits, the WORST case for agreement, so the
+bound is conservative). The W8A8 variant runs the REAL activation-round +
+s8xs8 math even on this CPU host (ops/layers.force_native_quant — without
+it the backend-gated fast path would be inert and the row would silently
+re-measure plain int8). int4 is reported, not gated: its measured ~84%
+tiny-fixture agreement is the documented trade of the load_4bit serving
+configuration (DESIGN.md), mirroring bitsandbytes NF4's known drift
 (reference model/__init__.py:59-69 inherits it silently; here it is a
 number)."""
 

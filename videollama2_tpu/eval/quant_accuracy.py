@@ -69,7 +69,14 @@ def _make_fns(cfg: LLMConfig, bucket: int, max_len: int, kv_bits: int,
 
     @_jax.jit
     def prefill_fn(params, ids, valid):
-        with layers_ops.quant_inference(True), layers_ops.w8a8_prefill(w8a8):
+        # force_native_quant: off-TPU (the CI/parity host) the W8A8 gate in
+        # ops/layers.dense is backend-gated, so without the force the
+        # "int8+w8a8" variant would silently measure the dequant path —
+        # identical math to plain "int8". The force makes the harness
+        # execute the same activation-round + s8xs8 dot the TPU serves.
+        with layers_ops.quant_inference(True), \
+                layers_ops.w8a8_prefill(w8a8), \
+                layers_ops.force_native_quant(w8a8):
             cache = llm_lib.init_cache(cfg, 1, max_len, dtype,
                                        kv_bits=kv_bits)
             embeds = llm_lib.embed_tokens(params, ids, dtype=dtype)
@@ -80,7 +87,12 @@ def _make_fns(cfg: LLMConfig, bucket: int, max_len: int, kv_bits: int,
 
     @_jax.jit
     def step_fn(params, feed, cache, valid, stepi):
-        with layers_ops.quant_inference(True):
+        # force here too: on TPU, decode-shaped dense calls on quantized
+        # packs (rows<=64 under quant_inference — e.g. lm_head) take the
+        # W8A8 activation-round path, so the harness decodes with the
+        # same math. No-op for unquantized trees (no packs to route).
+        with layers_ops.quant_inference(True), \
+                layers_ops.force_native_quant(True):
             te = llm_lib.embed_tokens(params, feed[None, None], dtype=dtype)
             return llm_lib.decode_step(params, cfg, te, cache, valid,
                                        bucket, stepi)

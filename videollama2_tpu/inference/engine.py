@@ -204,6 +204,13 @@ class Engine:
         param tree off the accelerator — a catastrophic re-transfer over a
         tunnel backend. Fail loudly instead."""
         dd = jax.config.jax_default_device
+        if isinstance(dd, str):
+            # jax.default_device also accepts a platform string; it
+            # resolves to that platform's first device at placement time.
+            try:
+                dd = jax.devices(dd)[0]
+            except RuntimeError:
+                dd = None  # unknown platform: placement would fail first
         if dd is not None and dd != self._target_device:
             raise RuntimeError(
                 f"Engine methods must not run under jax.default_device("

@@ -131,8 +131,9 @@ def dense(x: jax.Array, p: dict) -> jax.Array:
         rows = 1
         for s in x.shape[:-1]:
             rows *= s
-        if _on_tpu() and ((rows <= 64 and _quant_inference_enabled())
-                          or _w8a8_large_rows_enabled()):
+        if ((_on_tpu() or _force_native_enabled())
+                and ((rows <= 64 and _quant_inference_enabled())
+                     or _w8a8_large_rows_enabled())):
             # W4A8: nibbles unpack LOSSLESSLY to int8 (values in [-7, 7],
             # per-output-channel scale unchanged), so the serving prefill
             # rides the same s8xs8 MXU path as int8 packs — the int8
@@ -149,8 +150,9 @@ def dense(x: jax.Array, p: dict) -> jax.Array:
         rows = 1
         for s in x.shape[:-1]:
             rows *= s
-        if _on_tpu() and ((rows <= 64 and _quant_inference_enabled())
-                          or _w8a8_large_rows_enabled()):
+        if ((_on_tpu() or _force_native_enabled())
+                and ((rows <= 64 and _quant_inference_enabled())
+                     or _w8a8_large_rows_enabled())):
             y = dense_w8a8(x, pack)
         else:
             # training (grads must flow through the frozen base — the
@@ -183,6 +185,26 @@ def _w8a8_large_rows_enabled() -> bool:
 
 def _quant_inference_enabled() -> bool:
     return getattr(_QUANT_FLAGS, "quant_inference", False)
+
+
+def _force_native_enabled() -> bool:
+    return getattr(_QUANT_FLAGS, "force_native_quant", False)
+
+
+@contextmanager
+def force_native_quant(enabled: bool = True):
+    """Measurement/CI override: take the W8A8/W4A8 s8-dot paths even when
+    the backend is not a TPU. The activation-quantize + s8xs8->s32 einsum
+    is backend-portable (only its SPEED is TPU-specific), so the
+    quant-accuracy harness uses this to measure the numerics the TPU
+    actually serves instead of silently measuring the dequant path
+    (which is bit-different: it never rounds activations)."""
+    prev = _force_native_enabled()
+    _QUANT_FLAGS.force_native_quant = enabled
+    try:
+        yield
+    finally:
+        _QUANT_FLAGS.force_native_quant = prev
 
 
 @contextmanager
