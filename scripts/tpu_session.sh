@@ -39,14 +39,11 @@ run() {
   echo "$(date +%T) DONE $name rc=$?" >> /tmp/tpu_queue/status.log
 }
 
-# ---- round 5h queue (batch-scaling curve + HEAD revalidation) ----
-# B=32 probe: the iteration is prefill-bound (DESIGN.md attribution), so
-# doubling the batch past 16 should gain only the decode+fixed-cost
-# amortization (~5%) — measure it (or the OOM) to pin the B=16 sweet spot
-run bench_b32 2400 env BENCH_BATCH=32 BENCH_ITERS=8 BENCH_MAX_ITERS=12 python bench.py
-# same probe on int4 weights (4 GB more HBM headroom if int8 B=32 OOMs)
-run bench_b32_int4 2400 env BENCH_BATCH=32 BENCH_BITS=4 BENCH_ITERS=8 BENCH_MAX_ITERS=12 python bench.py
-# headline revalidation at HEAD (post range-fix/native-i420 commits)
-run bench_head_reval 2400 python bench.py
+# ---- round 5 final queue (post review-fix HEAD sanity) ----
+# Today's commits touch no TPU-serving code path (the force_native_quant
+# gate short-circuits identically on TPU; the engine guard is host-side;
+# the harness changes are CPU-only) — this run confirms that on the chip
+# and leaves a final-HEAD headline sample.
+run bench_final_head 2400 python bench.py
 
 echo "$(date +%T) queue complete" >> /tmp/tpu_queue/status.log

@@ -10,6 +10,8 @@ import argparse
 
 
 def main():
+    from ..utils.misc import apply_platform_env
+    apply_platform_env()  # PLATFORM=cpu offline drives (tunnel-less hosts)
     ap = argparse.ArgumentParser()
     ap.add_argument("--model-path", required=True)
     ap.add_argument("--image-file", default=None)

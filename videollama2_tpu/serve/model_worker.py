@@ -390,6 +390,8 @@ def make_handler(worker: ModelWorker):
 
 
 def main():
+    from ..utils.misc import apply_platform_env
+    apply_platform_env()  # PLATFORM=cpu offline drives (tunnel-less hosts)
     ap = argparse.ArgumentParser()
     ap.add_argument("--host", default="localhost")
     ap.add_argument("--port", type=int, default=21002)

@@ -68,3 +68,19 @@ class KeywordsStopper:
 
     def as_stop_fn(self):
         return self.should_stop
+
+
+def apply_platform_env() -> None:
+    """Honor `PLATFORM=cpu` before first jax device use.
+
+    The image preloads jax with the remote `axon` TPU platform at
+    interpreter start, so the JAX_PLATFORMS env var is already too late —
+    and when the TPU tunnel is down, the first device touch hangs
+    indefinitely. bench.py and the profile/bench scripts all take this
+    escape hatch; the serving/CLI entrypoints route through here so the
+    offline drive recipe (`PLATFORM=cpu python -m
+    videollama2_tpu.serve.model_worker ...`) works on a tunnel-less host.
+    """
+    if os.environ.get("PLATFORM") == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
